@@ -1,0 +1,150 @@
+"""Focus-of-Expansion estimation as dense TPU reductions.
+
+Replaces the reference's per-sample Python loops
+(``/root/reference/src/focus_of_expansion.py:32-86``) with fixed-shape
+vectorized ops:
+
+* ``line_intersections`` — all N flow-line pairs intersected at once by the
+  same determinant formula as ``utils.line_intersection``
+  (``/root/reference/src/utils.py:183-197``).
+* ``foe_ransac`` — the O(N²) 1-NN consensus vote becomes one (N, N) pairwise
+  distance matrix + row-wise inlier count + argmax: a single VPU-friendly
+  reduction instead of 1000 Python iterations.
+* ``get_foe_dense`` — sampling + intersection + vote fused under jit.
+
+Default constants are the reference's: N=1000 samples, magnitude gate 2.5 px,
+inlier radius 30 px (``focus_of_expansion.py:21-23,65``).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+MAGNITUDE_THRESHOLD = 2.5
+RANSAC_THRESHOLD = 30.0
+NUM_SAMPLES = 1000
+
+
+@jax.jit
+def line_intersections(
+    p1: jax.Array, d1: jax.Array, p2: jax.Array, d2: jax.Array
+) -> Tuple[jax.Array, jax.Array]:
+    """Intersect line (p1, p1+d1) with line (p2, p2+d2), batched over axis 0.
+
+    Returns (points (N, 2), valid (N,)); parallel lines are invalid (the
+    reference returns ``(False, False)`` which numpy coerces to 0 — here we
+    return zeros with valid=False, preserving downstream filtering behavior).
+    """
+    # Endpoint formulation matches the reference call site:
+    # line = (coord, flow + coord)  -> a = p, b = p + d
+    a1, b1 = p1, p1 + d1
+    a2, b2 = p2, p2 + d2
+    xdiff = jnp.stack([a1[..., 0] - b1[..., 0], a2[..., 0] - b2[..., 0]], -1)
+    ydiff = jnp.stack([a1[..., 1] - b1[..., 1], a2[..., 1] - b2[..., 1]], -1)
+
+    def det(a, b):
+        return a[..., 0] * b[..., 1] - a[..., 1] * b[..., 0]
+
+    div = det(xdiff, ydiff)
+    d_1 = det(a1, b1)
+    d_2 = det(a2, b2)
+    d = jnp.stack([d_1, d_2], -1)
+    valid = div != 0
+    safe_div = jnp.where(valid, div, 1.0)
+    x = det(d, xdiff) / safe_div
+    y = det(d, ydiff) / safe_div
+    pts = jnp.stack([x, y], -1)
+    pts = jnp.where(valid[..., None], pts, 0.0)
+    return pts, valid
+
+
+@jax.jit
+def foe_ransac(estimates: jax.Array, valid: jax.Array,
+               threshold: float = RANSAC_THRESHOLD) -> jax.Array:
+    """Consensus vote over candidate FoE points.
+
+    For each valid candidate, count other estimates within ``threshold`` px
+    (self excluded — the reference subtracts 1); return the candidate with the
+    highest strictly-positive score, else (0, 0) exactly like the reference's
+    ``optimum = 0`` initialization (``focus_of_expansion.py:32-54``).
+    """
+    diff = estimates[:, None, :] - estimates[None, :, :]
+    dist = jnp.linalg.norm(diff, axis=-1)
+    pair_ok = valid[None, :] & (dist < threshold)
+    # subtract the self-match to mirror `score = inliers - 1`
+    scores = jnp.sum(pair_ok, axis=1) - 1
+    scores = jnp.where(valid, scores, -1)
+    best = jnp.argmax(scores)
+    best_score = scores[best]
+    foe = jnp.where(best_score > 0, estimates[best], jnp.zeros(2, estimates.dtype))
+    return foe
+
+
+@partial(jax.jit, static_argnames=("num_samples",))
+def get_foe_dense(
+    flow_uv: jax.Array,
+    key: jax.Array,
+    num_samples: int = NUM_SAMPLES,
+    magnitude_threshold: float = MAGNITUDE_THRESHOLD,
+    ransac_threshold: float = RANSAC_THRESHOLD,
+    sample_yx: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Dense-flow FoE: sample flow-line pairs, intersect, consensus-vote.
+
+    ``sample_yx`` ((2*num_samples, 2) int array of (y, x)) overrides random
+    sampling for deterministic tests against the reference implementation.
+    """
+    h, w = flow_uv.shape[0], flow_uv.shape[1]
+    if sample_yx is None:
+        ky, kx = jax.random.split(key)
+        ys = jax.random.randint(ky, (2 * num_samples,), 0, h)
+        xs = jax.random.randint(kx, (2 * num_samples,), 0, w)
+    else:
+        ys, xs = sample_yx[..., 0], sample_yx[..., 1]
+
+    flows = flow_uv[ys, xs]  # (2N, 2) gathered flow vectors
+    coords = jnp.stack([xs, ys], -1).astype(flow_uv.dtype)  # (x, y) order
+
+    p1, f1 = coords[:num_samples], flows[:num_samples]
+    p2, f2 = coords[num_samples:], flows[num_samples:]
+
+    # Reference gates on the *second* line's magnitude only
+    # (focus_of_expansion.py:78).
+    mag2 = jnp.linalg.norm(f2, axis=-1)
+    gate = mag2 >= magnitude_threshold
+
+    pts, parallel_ok = line_intersections(p1, f1, p2, f2)
+    # Reference drops rows with x == 0.0 (its "invalid" sentinel); an exact-0
+    # x from a real intersection is measure-zero so this matches behavior.
+    valid = gate & parallel_ok & (pts[..., 0] != 0.0)
+    pts = jnp.where(valid[..., None], pts, 0.0)
+    return foe_ransac(pts, valid, ransac_threshold)
+
+
+@jax.jit
+def get_phi(derotated_flow_uv: jax.Array, foe: jax.Array) -> jax.Array:
+    """Per-pixel angle (degrees) between flow vector and the ray from the FoE.
+
+    Parity target: ``focus_of_expansion.py:150-184`` — arccos of the
+    normalized dot product with a 1e-6 norm floor and [-1, 1] clipping.
+    """
+    h, w = derotated_flow_uv.shape[0], derotated_flow_uv.shape[1]
+    x_coords = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    y_coords = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+
+    diff1 = derotated_flow_uv
+    ray_x = x_coords - foe[0]
+    ray_y = y_coords - foe[1]
+
+    flow_magnitude = jnp.linalg.norm(diff1, axis=-1)
+    img_distance = jnp.sqrt(ray_x ** 2 + ray_y ** 2)
+    norm = jnp.maximum(1e-6, flow_magnitude * img_distance)
+
+    arccos_arg = (diff1[..., 0] * ray_x + diff1[..., 1] * ray_y) / norm
+    arccos_arg = jnp.clip(arccos_arg, -1.0, 1.0)
+    angle = jnp.arccos(arccos_arg)
+    angle = jnp.nan_to_num(angle)
+    return jnp.rad2deg(angle)

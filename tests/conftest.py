@@ -1,17 +1,17 @@
 """Test harness configuration.
 
-Forces JAX onto a virtual 8-device CPU mesh *before* jax initializes, so the
-multi-chip sharding paths are exercised without TPU hardware (the pattern the
-reference lacks entirely — it has no tests; see SURVEY.md §4).
-"""
-import os
+Forces JAX onto a virtual 8-device CPU mesh so multi-chip sharding paths are
+exercised without TPU hardware (the pattern the reference lacks entirely — it
+has no tests; see SURVEY.md §4).
 
-# Force CPU even when the session env points at a TPU platform (e.g. axon):
-# tests must be hermetic and exercise the virtual multi-device mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+NOTE: plain ``os.environ`` assignment is NOT enough here — the session may run
+under a TPU PJRT plugin (JAX_PLATFORMS=axon in the process env) which wins
+over in-process env mutation. ``jax.config`` applies at backend init and wins.
+"""
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

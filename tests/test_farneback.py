@@ -1,0 +1,97 @@
+"""Farneback flow parity vs the OpenCV oracle.
+
+The BASELINE gate is flow EPE < 0.1 px vs the reference's flow spec
+(pyr_scale 0.4, levels 1, winsize 12, 10 iters, poly_n 8, poly_sigma 1.2 —
+``/root/reference/src/farneback.py:76-80``).
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mav_detection_tpu.ops.flow import farneback_flow, FarnebackParams
+from mav_detection_tpu.ops.flow.farneback import farneback_flow_batch
+
+cv2 = pytest.importorskip("cv2")
+
+
+def make_pair(shape=(140, 180), d=(3.0, 2.0), blur=1.5, seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.random(shape).astype(np.float32)
+    base = cv2.GaussianBlur(base, (0, 0), blur) * 255
+    M = np.float32([[1, 0, d[0]], [0, 1, d[1]]])
+    curr = cv2.warpAffine(base, M, shape[::-1])
+    return base.astype(np.uint8), curr.astype(np.uint8)
+
+
+INNER = (slice(20, -20), slice(20, -20))
+
+
+class TestFarnebackParity:
+    def test_reference_spec_epe_gate(self):
+        """The exact config the reference names, vs cv2: EPE < 0.05 interior."""
+        prev, curr = make_pair(blur=3.0)
+        p = FarnebackParams(0.4, 1, 12, 10, 8, 1.2)
+        ref = cv2.calcOpticalFlowFarneback(prev, curr, None, 0.4, 1, 12, 10, 8, 1.2, 0)
+        ours = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr), p))
+        epe = np.linalg.norm(ours - ref, axis=-1)
+        assert epe[INNER].mean() < 0.05
+        assert epe.mean() < 0.1  # full-frame gate incl. borders
+
+    def test_odd_window_config(self):
+        prev, curr = make_pair(blur=3.0, seed=3)
+        p = FarnebackParams(0.5, 1, 13, 10, 5, 1.1)
+        ref = cv2.calcOpticalFlowFarneback(prev, curr, None, 0.5, 1, 13, 10, 5, 1.1, 0)
+        ours = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr), p))
+        epe = np.linalg.norm(ours - ref, axis=-1)
+        assert epe[INNER].mean() < 0.05
+
+    def test_multi_level_pyramid(self):
+        prev, curr = make_pair(shape=(160, 200), d=(6.0, -4.0), blur=1.5, seed=5)
+        p = FarnebackParams(0.5, 3, 13, 10, 5, 1.1)
+        ref = cv2.calcOpticalFlowFarneback(prev, curr, None, 0.5, 3, 13, 10, 5, 1.1, 0)
+        ours = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr), p))
+        epe = np.linalg.norm(ours - ref, axis=-1)
+        assert epe[INNER].mean() < 0.1
+
+    def test_recovers_known_translation(self):
+        """Accuracy vs ground truth (not just oracle parity)."""
+        prev, curr = make_pair(d=(2.0, 1.0), blur=1.5, seed=7)
+        p = FarnebackParams(0.5, 2, 13, 10, 5, 1.1)
+        ours = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr), p))
+        mean_flow = ours[INNER].mean(axis=(0, 1))
+        # the regularized solver slightly shrinks magnitudes (like cv2)
+        np.testing.assert_allclose(mean_flow, [2.0, 1.0], atol=0.35)
+
+    def test_batch_matches_single(self):
+        prev0, curr0 = make_pair(seed=1)
+        prev1, curr1 = make_pair(d=(-2.0, 1.5), seed=2)
+        p = FarnebackParams(0.5, 1, 13, 5, 5, 1.1)
+        batch = np.asarray(
+            farneback_flow_batch(
+                jnp.asarray(np.stack([prev0, prev1])),
+                jnp.asarray(np.stack([curr0, curr1])),
+                p,
+            )
+        )
+        single0 = np.asarray(farneback_flow(jnp.asarray(prev0), jnp.asarray(curr0), p))
+        single1 = np.asarray(farneback_flow(jnp.asarray(prev1), jnp.asarray(curr1), p))
+        np.testing.assert_allclose(batch[0], single0, atol=1e-4)
+        np.testing.assert_allclose(batch[1], single1, atol=1e-4)
+
+    def test_zero_motion_gives_zero_flow(self):
+        prev, _ = make_pair(seed=9)
+        p = FarnebackParams(0.5, 1, 13, 5, 5, 1.1)
+        ours = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(prev), p))
+        assert np.abs(ours).max() < 1e-2
+
+
+class TestGrayConversion:
+    def test_bgr_to_gray_matches_cv2(self, rng):
+        from mav_detection_tpu.ops.image.color import bgr_to_gray
+
+        img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        ref = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        ours = np.asarray(bgr_to_gray(jnp.asarray(img)))
+        # rounding at .5 boundaries may differ by 1
+        assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1

@@ -1,0 +1,116 @@
+"""Command-line entry point.
+
+Flag surface matches the reference's ``main.py`` argparse
+(``/root/reference/src/main.py:77-89``) plus new TPU-native options
+(``--flow-source``, ``--batch-size``). Unlike the reference, ``--algorithm``
+is actually wired through to the run configuration.
+
+Usage:
+    python -m mav_detection_tpu.cli.main --dataset synthetic \
+        --mode FLOW_FOE_CLUSTERING --headless --validate
+"""
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+from typing import List, Optional
+
+from mav_detection_tpu.core.config import Mode, RunConfig
+from mav_detection_tpu.eval.validator import Validator
+from mav_detection_tpu.pipeline.processor import Processor
+
+
+def get_logger(debug: bool) -> logging.Logger:
+    level = logging.INFO if debug else logging.DEBUG
+    logging.basicConfig(
+        filename="main.log", filemode="a",
+        format="%(asctime)s.%(msecs)03d %(name)s %(levelname)s %(message)s",
+        datefmt="%H:%M:%S", level=level)
+    logger = logging.getLogger("main")
+    if not any(isinstance(h, logging.StreamHandler) for h in logger.handlers):
+        logger.addHandler(logging.StreamHandler())
+    return logger
+
+
+def execute(config: RunConfig) -> None:
+    config.logger.info(f"Starting: {config}")
+    if config.validate and config.uses_nn_for_detection():
+        Validator(config).run_validation()
+        return
+    processor = Processor(config)
+    try:
+        if config.prepare_dataset:
+            processor.convert(config.mode)
+        elif config.data_to_yolo:
+            processor.annotations_to_yolo()
+        elif config.undistort:
+            processor.undistort()
+        else:
+            processor.run_detection()
+            Validator(config).run_validation()
+    finally:
+        processor.release()
+
+
+def run_all(logger: logging.Logger, args: argparse.Namespace) -> None:
+    """Validation sweep over all validation sequences (main.py:38-56)."""
+    settings = RunConfig(logger=logger).settings
+    for sequence in settings.get("validation_sequences", []):
+        config = RunConfig(
+            logger=logger, dataset=args.dataset or "MIDGARD",
+            sequence=sequence, mode=str(Mode.FLOW_FOE_CLUSTERING),
+            debug=True, validate=True, headless=args.headless,
+            flow_source=args.flow_source, batch_size=args.batch_size)
+        execute(config)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Detects MAVs in the dataset using optical flow (TPU-native).")
+    parser.add_argument("--dataset", type=str, default="midgard",
+                        help="dataset to process")
+    parser.add_argument("--sequence", type=str, default="",
+                        help="sequence to process")
+    parser.add_argument("--mode", type=str, default="FLOW_UV",
+                        help="mode to use, see core.config.Mode")
+    parser.add_argument("--algorithm", type=str, default="ESSENTIAL",
+                        help="ego-motion algorithm, see core.config.Algorithm")
+    parser.add_argument("--flow-source", type=str, default="PRECOMPUTED",
+                        help="dense flow source: PRECOMPUTED|FARNEBACK|LUCAS_KANADE|RAFT|GROUND_TRUTH")
+    parser.add_argument("--batch-size", type=int, default=8,
+                        help="frame pairs per device batch")
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--prepare-dataset", action="store_true",
+                        help="prepares the YOLOv4 training dataset")
+    parser.add_argument("--validate", action="store_true",
+                        help="validate the detection results")
+    parser.add_argument("--headless", action="store_true",
+                        help="do not use UIs")
+    parser.add_argument("--run-all", action="store_true",
+                        help="run all configurations")
+    parser.add_argument("--data-to-yolo", action="store_true",
+                        help="convert annotations to the YOLO format")
+    parser.add_argument("--undistort", action="store_true",
+                        help="undistort original images")
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = build_parser().parse_args(argv)
+    logger = get_logger(args.debug)
+    if args.run_all:
+        run_all(logger, args)
+        return
+    config = RunConfig(
+        logger=logger, dataset=args.dataset, sequence=args.sequence,
+        mode=args.mode, algorithm=args.algorithm,
+        flow_source=args.flow_source, batch_size=args.batch_size,
+        debug=args.debug, prepare_dataset=args.prepare_dataset,
+        validate=args.validate, headless=args.headless,
+        data_to_yolo=args.data_to_yolo, undistort=args.undistort)
+    execute(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""AirSim simulation dataset.
+
+Per-frame JSON state files (IMU quaternion, UE4 FoE, view-projection matrix),
+GT-flow synthesis from depth + camera matrices, auto YOLO annotations from
+segmentation masks — the accessor semantics of
+``/root/reference/src/datasets/sim_data.py`` with GT-flow math running as
+batched JAX (see ``airsim_flow.py``).
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import re
+from typing import Any, List, Optional, Tuple
+
+import numpy as np
+
+from mav_detection_tpu.core.flo import read_flow, write_flow
+from mav_detection_tpu.data.dataset import (
+    Dataset,
+    create_if_not_exists,
+    imread,
+    imwrite,
+    sorted_glob,
+)
+from mav_detection_tpu.ops.image.boxes import get_simple_bounding_box
+
+
+def quat_to_euler_xyz(x: float, y: float, z: float, w: float) -> np.ndarray:
+    """Quaternion -> XYZ euler (rad), scipy 'xyz' convention."""
+    try:
+        from scipy.spatial.transform import Rotation
+
+        return Rotation.from_quat([x, y, z, w]).as_euler("xyz", degrees=False)
+    except Exception:
+        # closed-form fallback
+        roll = np.arctan2(2 * (w * x + y * z), 1 - 2 * (x * x + y * y))
+        pitch = np.arcsin(np.clip(2 * (w * y - z * x), -1, 1))
+        yaw = np.arctan2(2 * (w * z + x * y), 1 - 2 * (y * y + z * z))
+        return np.array([roll, pitch, yaw])
+
+
+class SimDataset(Dataset):
+    def __init__(self, logger: Optional[logging.Logger] = None,
+                 sequence: str = "") -> None:
+        base = os.environ["SIMDATA_PATH"]
+        self.start_time = 0.0
+        super().__init__(base, logger, sequence)
+        self._state_files = [p for p in sorted_glob(f"{self.state_path}/1*.json")
+                             if "timestamp" not in p]
+        if not os.listdir(self.ann_path):
+            self.create_annotations()
+        if self._state_files and not os.path.exists(
+                f"{self.gt_of_path}/image_00000.flo"):
+            self.create_ground_truth_optical_flow()
+        self.start_time = self.get_time(0) if self._state_files else 0.0
+
+    def get_default_sequence(self) -> str:
+        return "citypark-stationary/soccerfield-north-low-2.5-10-default"
+
+    # ------------------------------------------------------------- states
+    def get_state_filenames(self) -> List[str]:
+        return self._state_files
+
+    def get_state(self, i: int) -> Any:
+        with open(self._state_files[i], "r") as f:
+            return json.load(f)
+
+    def get_orientation(self, i: int) -> np.ndarray:
+        o = self.get_state(i)["Drone1"]["imu"]["orientation"]
+        return quat_to_euler_xyz(o["x_val"], o["y_val"], o["z_val"], o["w_val"])
+
+    def get_angular_difference(self, first: int, second: int) -> np.ndarray:
+        """Body-frame axis remap of the euler delta: (pitch, yaw, roll) with
+        the roll sign flipped (reference ``sim_data.py:56-60``)."""
+        omega = self.get_orientation(second) - self.get_orientation(first)
+        omega = omega[[1, 2, 0]]
+        omega[2] = -omega[2]
+        return omega
+
+    def get_time(self, i: int) -> float:
+        ts = self.get_state(i)["Drone1"]["imu"]["time_stamp"]
+        return ts / 1e9 - self.start_time
+
+    def get_delta_time(self, i: int) -> float:
+        return float(self.get_time(i) - self.get_time(i - 1))
+
+    def get_gt_foe(self, i: int) -> Optional[Tuple[float, float]]:
+        foe = self.get_state(i)["Drone1"]["ue4"]["FoE"]
+        return (foe["X"] * self.capture_size[0], foe["Y"] * self.capture_size[1])
+
+    # -------------------------------------------------------- derived data
+    def create_annotations(self) -> None:
+        """Auto-annotate from segmentation bbox (sim_data.py:25-37)."""
+        for path in sorted_glob(f"{self.seg_path}/image_*.png"):
+            idx = re.findall(r"image_(\d+)[.]png$", os.path.basename(path))[0]
+            img = imread(path)
+            rect = get_simple_bounding_box(img)
+            img_size = np.array([img.shape[1], img.shape[0]])
+            with open(f"{self.ann_path}/image_{idx}.txt", "w") as f:
+                f.write(rect.to_yolo(img_size))
+
+    def create_ground_truth_optical_flow(self) -> None:
+        from mav_detection_tpu.data.airsim_flow import write_sequence_gt_flow
+
+        create_if_not_exists(self.gt_of_path)
+        create_if_not_exists(self.gt_of_vis_path)
+        write_sequence_gt_flow(self)
+
+    def get_gt_of(self, i: int) -> Optional[np.ndarray]:
+        flow = read_flow(f"{self.gt_of_path}/image_{i:05d}.flo")
+        if flow.shape[:2] != (self.capture_size[1], self.capture_size[0]):
+            import jax.numpy as jnp
+
+            from mav_detection_tpu.ops.image.resize import resize
+
+            flow = np.asarray(resize(jnp.asarray(flow),
+                                     (self.capture_size[1], self.capture_size[0])))
+        return flow

@@ -1,0 +1,276 @@
+"""Validation: per-frame result aggregation, FoE-error stats, ROC artifacts.
+
+Metric-compatible with the reference's Validator
+(``/root/reference/src/validator.py:120-335``): loads ``results/image_%05d.json``
+files, prints FoE-error mean/std over 50 px inliers (frames >= 56 when the
+sequence is long enough), produces kappa-binned TPR curves, sky-segmentation
+ROC, the object-detection ROC, and saves ``validation.npy``.
+
+The binned statistics run as vectorized segment means instead of per-bin
+Python loops; on a device mesh the per-frame metric reduction is a psum away
+(see ``parallel``), though aggregation of a few hundred scalars is host work.
+
+Also carries the remote YOLOv4 inference client (content-hash response cache,
+``POST /predict_video`` protocol) for API parity with the reference's NN
+modes; the host is configurable instead of hardcoded.
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import warnings
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mav_detection_tpu.core.config import RunConfig
+from mav_detection_tpu.core.frame_result import FrameResult
+from mav_detection_tpu.core.rectangle import Rectangle
+from mav_detection_tpu.data.dataset import create_if_not_exists
+
+FOE_OUTLIER_THRESHOLD = 50.0
+FOE_STABILIZE_FRAME = 56
+
+
+def binned_mean_std(x: np.ndarray, y: np.ndarray, bins: np.ndarray) -> np.ndarray:
+    """(len(bins), 3) rows of [mean_x, mean_y, std_y] per bin — vectorized
+    replacement for the reference's per-bin loops (validator.py:240-259)."""
+    out = np.zeros((len(bins), 3))
+    y_finite_mask = ~np.isnan(y)
+    idx = np.digitize(x, bins) - 1
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for b in range(len(bins) - 1):
+            m = idx == b
+            out[b, 0] = np.mean(x[m]) if m.any() else np.nan
+            my = m & y_finite_mask
+            out[b, 1] = np.mean(y[my]) if my.any() else np.nan
+            out[b, 2] = np.std(y[my]) if my.any() else np.nan
+    return out
+
+
+class Validator:
+    def __init__(self, config: RunConfig, host: Optional[str] = None) -> None:
+        self.config = config
+        self.host = host or os.environ.get("YOLO_INFERENCE_HOST",
+                                           "http://127.0.0.1:8099")
+        self.frames: Dict[int, FrameResult] = {}
+        self.foe_error = np.zeros((0, 2))
+
+    # ----------------------------------------------------------- loading
+    def run_validation(self) -> Dict[str, Any]:
+        self.dataset = self.config.get_dataset()
+        self.load_results()
+        stats = self.compute_foe_stats()
+        self.plot(stats)
+        roc = self.plot_roc()
+        return {**stats, **roc}
+
+    def load_results(self) -> None:
+        self.frames = {}
+        for i in range(self.dataset.N - 1):
+            path = f"{self.dataset.results_path}/image_{i:05d}.json"
+            if not os.path.exists(path):
+                continue
+            self.frames[i] = FrameResult.from_json_file(path)
+
+    # ------------------------------------------------------------- stats
+    def compute_foe_stats(self) -> Dict[str, Any]:
+        if not self.frames:
+            return {"foe_mean": None, "foe_std": None, "foe_outliers": 0}
+        foe_dense = np.array([f.foe_dense for f in self.frames.values()], float)
+        foe_gt = np.array([[np.nan, np.nan] if f.foe_gt is None else f.foe_gt
+                           for f in self.frames.values()], float)
+        if np.isnan(foe_gt).all():
+            return {"foe_mean": None, "foe_std": None, "foe_outliers": 0}
+
+        start = FOE_STABILIZE_FRAME if len(foe_dense) > FOE_STABILIZE_FRAME else 0
+        self.foe_error = foe_dense[start:] - foe_gt[start:]
+        err = self.foe_error[~np.isnan(self.foe_error).any(axis=1)]
+        inliers = err[(np.abs(err) < FOE_OUTLIER_THRESHOLD).all(axis=1)]
+        n_out = len(err) - len(inliers)
+        if len(inliers) == 0:
+            print("Error: no inliers in FoE estimates")
+            return {"foe_mean": None, "foe_std": None, "foe_outliers": n_out}
+        mean = inliers.mean(axis=0)
+        std = inliers.std(axis=0)
+        print(f"foe outliers: {n_out}, average error: "
+              f"({mean[0]:.2f}, {mean[1]:.2f}), std: ({std[0]:.1f}, {std[1]:.1f})")
+        return {"foe_mean": mean.tolist(), "foe_std": std.tolist(),
+                "foe_outliers": int(n_out)}
+
+    # -------------------------------------------------------------- plots
+    def _plt(self):
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        return plt
+
+    def plot(self, stats: Dict[str, Any]) -> None:
+        plt = self._plt()
+        create_if_not_exists("media/output")
+        if self.foe_error.size:
+            plt.figure()
+            plt.grid()
+            plt.hist(self.foe_error[:, 0], np.linspace(-60, 60, 30), alpha=0.6,
+                     label="x error")
+            plt.hist(self.foe_error[:, 1], np.linspace(-60, 60, 30), alpha=0.6,
+                     label="y error")
+            plt.xlabel("FoE error [px]")
+            plt.ylabel("Frequency [frames]")
+            plt.legend()
+            plt.savefig("media/output/foe-error.png", bbox_inches="tight")
+            plt.close()
+
+    def plot_roc(self) -> Dict[str, Any]:
+        if not self.frames or not self.dataset.seq_path:
+            return {}
+        plt = self._plt()
+        warnings.filterwarnings("ignore")
+
+        f = list(self.frames.values())
+        phi = np.array([float(x.center_phi) for x in f])
+        tpr = np.array([x.tpr for x in f])
+        tpr_fixed = np.array([x.tpr_fixed for x in f])
+        fpr = np.array([x.fpr for x in f])
+        fpr_fixed = np.array([x.fpr_fixed for x in f])
+        flow_x = np.array([float(x.drone_flow_pixels[0]) for x in f])
+        flow_y = np.array([float(x.drone_flow_pixels[1]) for x in f])
+        size = np.array([float(x.drone_size_pixels) for x in f])
+        flow_x = flow_x[~np.isnan(flow_x)]
+        flow_y = flow_y[~np.isnan(flow_y)]
+
+        seq = self.dataset.seq_path
+
+        # kappa vs TPR (raw + binned)
+        plt.figure()
+        plt.grid()
+        plt.plot(phi, tpr, ls="", marker="o")
+        plt.xlabel(r"$\kappa$ [deg]")
+        plt.ylabel("True Positive Rate")
+        plt.ylim(0, 1.0)
+        plt.savefig(f"{seq}/tpr_vs_time_raw", bbox_inches="tight")
+        plt.close()
+
+        bins = np.linspace(-180, 0, 40)
+        avg_std_tpr = binned_mean_std(phi, tpr, bins)
+        avg_std_tpr_fixed = binned_mean_std(phi, tpr_fixed, bins)
+        avg_std_fpr = binned_mean_std(phi, fpr, bins)
+        avg_std_fpr_fixed = binned_mean_std(phi, fpr_fixed, bins)
+
+        plt.figure()
+        plt.grid()
+        plt.xlabel(r"$\kappa$ [deg]")
+        plt.ylabel("True Positive Rate")
+        plt.ylim(0, 1.0)
+        plt.errorbar(avg_std_tpr[:, 0], avg_std_tpr[:, 1], yerr=avg_std_tpr[:, 2],
+                     marker="o", markersize=6, capsize=3, color="indigo")
+        plt.savefig(f"{seq}/tpr_vs_time", bbox_inches="tight")
+        plt.close()
+
+        np.save(f"{seq}/validation.npy", np.array([
+            np.average(tpr), np.std(tpr),
+            np.average(size), np.std(size),
+            np.median(flow_x) if flow_x.size else np.nan,
+            np.std(flow_x) if flow_x.size else np.nan,
+            np.average(flow_y) if flow_y.size else np.nan,
+            np.std(flow_y) if flow_y.size else np.nan,
+            avg_std_tpr, avg_std_tpr_fixed,
+            avg_std_fpr, avg_std_fpr_fixed,
+            fpr, tpr,
+            self.foe_error,
+        ], dtype=object), allow_pickle=True)
+
+        # sky ROC (first half of frames, like the reference)
+        sky_fpr = np.array([x.sky_fpr for x in f])[: len(f) // 2]
+        sky_tpr = np.array([x.sky_tpr for x in f])[: len(f) // 2]
+        plt.figure()
+        plt.grid()
+        plt.plot(sky_fpr, sky_tpr, ls="", marker="o")
+        plt.xlabel("False Positive Rate")
+        plt.ylabel("True Positive Rate")
+        plt.ylim(0, 1.0)
+        plt.savefig(f"{seq}/sky_roc", bbox_inches="tight")
+        plt.close()
+
+        # detection ROC over fixed-threshold rates
+        bins_roc = np.linspace(0, 5.2e-4, 30)
+        avg_std_roc = binned_mean_std(fpr_fixed, tpr_fixed, bins_roc)
+        plt.figure()
+        plt.grid()
+        plt.errorbar(avg_std_roc[:-1, 0], avg_std_roc[:-1, 1],
+                     yerr=avg_std_roc[:-1, 2], marker="o", markersize=6,
+                     capsize=3, color="indigo")
+        plt.xlabel("False Positive Rate")
+        plt.ylabel("True Positive Rate")
+        plt.ylim(0, 1.0)
+        plt.savefig(f"{seq}/roc.png", bbox_inches="tight")
+        plt.savefig(f"{seq}/roc.eps", bbox_inches="tight")
+        plt.close()
+
+        return {
+            "tpr_mean": float(np.nanmean(tpr)) if tpr.size else None,
+            "fpr_mean": float(np.nanmean(fpr)) if fpr.size else None,
+            "tpr_fixed_mean": float(np.nanmean(tpr_fixed)) if tpr_fixed.size else None,
+            "fpr_fixed_mean": float(np.nanmean(fpr_fixed)) if fpr_fixed.size else None,
+        }
+
+    # ------------------------------------------- remote-inference client
+    def get_hash(self, filename: str) -> str:
+        sha = hashlib.sha1()
+        with open(filename, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                sha.update(chunk)
+        return sha.hexdigest()
+
+    def check_cache(self, digest: str, directory: str
+                    ) -> Tuple[Optional[Dict[str, List[str]]], str]:
+        json_path = f"{directory}/{digest}.json"
+        create_if_not_exists(directory)
+        if os.path.exists(json_path):
+            with open(json_path, "r") as f:
+                return json.load(f), json_path
+        return None, json_path
+
+    def get_inference(self, input_file: str, output_file: str,
+                      use_default_weights: bool = False) -> Dict[str, List[str]]:
+        """Remote YOLO video inference with content-hash caching
+        (validator.py:61-93). Returns frame -> box-string lists."""
+        import requests
+
+        boxes_dir = os.path.dirname(input_file) + "/bounding-boxes"
+        run_ts = str(requests.get(f"{self.host}/config").json()["start_time"])
+        digest = self.get_hash(input_file) + "-" + run_ts
+        cache, json_path = self.check_cache(digest, boxes_dir)
+        if cache is not None:
+            return cache
+
+        with open(input_file, "rb") as fh:
+            response = requests.post(
+                f"{self.host}/predict_video",
+                headers={"accept": "application/json"},
+                params=(("use_default_weights", use_default_weights),),
+                files={"video": (input_file, fh)})
+        with open(output_file, "wb") as out:
+            out.write(response.content)
+        result = requests.get(f"{self.host}/predict_video_boxes").json()
+        with open(json_path, "w") as f:
+            json.dump(result, f)
+        return result
+
+    @staticmethod
+    def parse_frames(frames: Dict[Any, List[str]]) -> Dict[int, List[Tuple[str, float, Rectangle]]]:
+        """Box strings -> (name, confidence, Rectangle) per frame."""
+        out: Dict[int, List[Tuple[str, float, Rectangle]]] = {}
+        for frame, boxes in frames.items():
+            parsed = []
+            for box in boxes:
+                parts = box.split(" ")
+                floats = [float(x) for x in parts[1:]]
+                parsed.append((parts[0], floats[0],
+                               Rectangle.from_yolo_output(floats[1:])))
+            out[int(frame)] = parsed
+        return out

@@ -1,0 +1,321 @@
+"""The frame engine: host IO around the fused device detection step.
+
+Replaces the reference's sequential per-frame loop
+(``/root/reference/src/processor.py:277-396``) with a batched pipeline:
+frames are staged in host batches, the fused ``detect_frame_batch`` program
+runs the whole batch on device (optionally sharded over a mesh along the
+batch axis), and only per-frame scalars + the small result images come back.
+
+Artifact outputs keep the reference contract: ``results/image_%05d.json``
+(FrameResult schema), ``result-images/``, ``derotated/``, ``phi/`` image
+dirs, and a ``processed`` video/image sequence.
+"""
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+import subprocess
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from mav_detection_tpu.core.config import FlowSource, Mode, RunConfig
+from mav_detection_tpu.core.frame_result import FrameResult
+from mav_detection_tpu.data.dataset import create_if_not_exists, imwrite
+from mav_detection_tpu.ops.flow import FarnebackParams, farneback_flow
+from mav_detection_tpu.ops.flow.farneback import farneback_flow_batch
+from mav_detection_tpu.ops.image import apply_colormap, flow_to_color, to_rgb
+from mav_detection_tpu.ops.image.color import bgr_to_gray
+from mav_detection_tpu.pipeline.detector import (
+    DetectionStep,
+    detect_frame_batch,
+)
+
+
+class Processor:
+    """Detection runner + dataset conversion utilities."""
+
+    def __init__(self, config: RunConfig) -> None:
+        self.config = config
+        self.logger = config.logger or logging.getLogger("mav_detection_tpu")
+        self.dataset = config.get_dataset()
+        self.batch_size = max(1, config.batch_size)
+        self.detection_results: Dict[int, FrameResult] = {}
+        self.frame_step_size = 1
+        self.is_exiting = False
+        self._farneback = FarnebackParams()
+
+    # ------------------------------------------------------------ helpers
+    def _flow_batch(self, indices: List[int]) -> np.ndarray:
+        """Dense flow for frame pairs (i, i+1) for each i in indices."""
+        src = self.config.flow_source
+        ds = self.dataset
+        if src == FlowSource.PRECOMPUTED and not ds.has_precomputed_flow():
+            self.logger.info("no precomputed flow found; using on-device Farneback")
+            src = FlowSource.FARNEBACK
+        if src in (FlowSource.PRECOMPUTED, FlowSource.GROUND_TRUTH):
+            getter = ds.get_flow_uv if src == FlowSource.PRECOMPUTED else ds.get_gt_of
+            return np.stack([np.asarray(getter(i), np.float32) for i in indices])
+        if src == FlowSource.FARNEBACK:
+            prevs = np.stack([
+                np.asarray(bgr_to_gray(jnp.asarray(ds.get_frame(i))))
+                for i in indices])
+            currs = np.stack([
+                np.asarray(bgr_to_gray(jnp.asarray(ds.get_frame(i + 1))))
+                for i in indices])
+            return np.asarray(farneback_flow_batch(
+                jnp.asarray(prevs), jnp.asarray(currs), self._farneback))
+        if src == FlowSource.RAFT:
+            from mav_detection_tpu.models.raft import raft_flow_batch
+
+            prevs = np.stack([ds.get_frame(i) for i in indices])
+            currs = np.stack([ds.get_frame(i + 1) for i in indices])
+            return np.asarray(raft_flow_batch(jnp.asarray(prevs), jnp.asarray(currs)))
+        raise ValueError(f"unsupported flow source {src}")
+
+    # ------------------------------------------------------------- detect
+    def run_detection(self) -> Dict[int, FrameResult]:
+        ds = self.dataset
+        n_pairs = ds.N - 1
+        h, w = ds.capture_shape[:2]
+        key = jax.random.PRNGKey(0)
+
+        out_dirs = {}
+        if ds.seq_path:
+            out_dirs = {
+                "results": ds.results_path,
+                "result_imgs": ds.result_imgs_path,
+                "derotated": os.path.join(ds.seq_path, "derotated"),
+                "phi": os.path.join(ds.seq_path, "phi"),
+                "processed": os.path.join(ds.seq_path, "processed"),
+            }
+            for d in out_dirs.values():
+                create_if_not_exists(d)
+
+        t_start = time.time()
+        for b0 in range(0, n_pairs, self.batch_size):
+            if self.is_exiting:
+                break
+            idx = list(range(b0, min(b0 + self.batch_size, n_pairs)))
+            nb = len(idx)
+
+            flow = self._flow_batch(idx)
+            gt_flow = np.stack([
+                np.asarray(ds.get_gt_of(i), np.float32)
+                if ds.get_gt_of(i) is not None else np.zeros((h, w, 2), np.float32)
+                for i in idx])
+            omegas = np.stack([
+                np.asarray(ds.get_angular_difference(i, i + 1), np.float64)
+                / max(ds.get_delta_time(i + 1), 1e-9)
+                for i in idx]).astype(np.float32)
+            dts = np.array([ds.get_delta_time(i + 1) for i in idx], np.float32)
+            segs = np.stack([
+                np.asarray(ds.get_segmentation(i))[..., 0] for i in idx])
+            skys = np.stack([np.asarray(ds.get_sky_segmentation(i)) for i in idx])
+            depths = np.stack([
+                np.asarray(ds.get_depth(i), np.float32)
+                if ds.get_depth(i) is not None else np.ones((h, w), np.float32)
+                for i in idx])
+            gt_foes = np.stack([
+                np.asarray(ds.get_gt_foe(i), np.float32)
+                if ds.get_gt_foe(i) is not None else np.full(2, np.nan, np.float32)
+                for i in idx])
+            key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, nb)
+
+            out = detect_frame_batch(
+                jnp.asarray(flow), jnp.asarray(gt_flow), jnp.asarray(omegas),
+                jnp.asarray(dts), jnp.asarray(segs), jnp.asarray(skys),
+                jnp.asarray(depths), jnp.asarray(gt_foes), keys,
+                DetectionStep())
+
+            # host materialization of the whole batch at once
+            foe = np.asarray(out.foe)
+            tpr = np.asarray(out.tpr)
+            fpr = np.asarray(out.fpr)
+            tprf = np.asarray(out.tpr_fixed)
+            fprf = np.asarray(out.fpr_fixed)
+            sky_tpr = np.asarray(out.sky_tpr)
+            sky_fpr = np.asarray(out.sky_fpr)
+            dsz = np.asarray(out.drone_size_pixels)
+            dfl = np.asarray(out.drone_flow_pixels)
+            cphi = np.asarray(out.center_phi)
+            fixed_masks = np.asarray(out.estimate_fixed)
+            phi_maps = np.asarray(out.phi)
+            derot = np.asarray(out.flow_derotated)
+
+            for j, i in enumerate(idx):
+                fr = FrameResult(
+                    time=float(ds.get_time(i)),
+                    tpr=float(tpr[j]), fpr=float(fpr[j]),
+                    tpr_fixed=float(tprf[j]), fpr_fixed=float(fprf[j]),
+                    sky_tpr=float(sky_tpr[j]), sky_fpr=float(sky_fpr[j]),
+                    drone_size_pixels=float(dsz[j]),
+                    drone_flow_pixels=(float(dfl[j, 0]), float(dfl[j, 1])),
+                    foe_dense=(float(foe[j, 0]), float(foe[j, 1])),
+                    foe_gt=tuple(float(v) for v in gt_foes[j]),
+                    center_phi=float(cphi[j]),
+                )
+                self.detection_results[i] = fr
+                self.config.results[i] = fr
+                if out_dirs:
+                    with open(os.path.join(out_dirs["results"],
+                                           f"image_{i:05d}.json"), "w") as f:
+                        f.write(fr.to_json())
+                    imwrite(os.path.join(out_dirs["result_imgs"],
+                                         f"image_{i:05d}.png"),
+                            to_rgb(255.0 * fixed_masks[j]))
+                    imwrite(os.path.join(out_dirs["derotated"],
+                                         f"image_{i:05d}.png"),
+                            flow_to_color(derot[j]))
+                    imwrite(os.path.join(out_dirs["phi"],
+                                         f"image_{i:05d}.png"),
+                            apply_colormap(phi_maps[j].astype(np.float32)))
+                    # overlay like the reference's mask_vis (alpha blend)
+                    frame = np.asarray(ds.get_frame(i), np.float32)
+                    mask = fixed_masks[j].astype(bool)
+                    overlay = frame.copy()
+                    overlay[mask] = (150, 0, 150)
+                    vis = 0.2 * frame + 0.8 * overlay
+                    imwrite(os.path.join(out_dirs["processed"],
+                                         f"image_{i:05d}.png"),
+                            np.clip(vis, 0, 255).astype(np.uint8))
+
+            done = min(b0 + self.batch_size, n_pairs)
+            if done % max(n_pairs // 10, 1) < self.batch_size:
+                self.logger.info(
+                    f"{done / n_pairs * 100:.1f}% {done}/{n_pairs} "
+                    f"({done / max(time.time() - t_start, 1e-9):.1f} fps)")
+
+        if out_dirs:
+            self._encode_video(out_dirs["processed"],
+                               os.path.join(ds.seq_path, "processed.mp4"))
+        return self.detection_results
+
+    def _encode_video(self, img_dir: str, out_path: str, fps: int = 30) -> None:
+        """png sequence -> mp4 via ffmpeg if available (reference writes
+        processed.mp4; we keep the artifact, gated on the binary)."""
+        if shutil.which("ffmpeg") is None:
+            return
+        cmd = ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
+               "-i", os.path.join(img_dir, "image_%05d.png"),
+               "-c:v", "libx264", "-pix_fmt", "yuv420p", out_path]
+        try:
+            subprocess.call(cmd)
+        except Exception as e:  # pragma: no cover
+            self.logger.warning(f"video encode failed: {e}")
+
+    # ----------------------------------------------- dataset conversion
+    def annotation_to_yolo(self, rects) -> str:
+        return "".join(r.to_yolo(self.dataset.resolution) for r in rects)
+
+    def annotations_to_yolo(self) -> None:
+        """MIDGARD csv -> YOLO txt annotations (processor.py:157-176)."""
+        import glob
+
+        midgard = os.environ["MIDGARD_PATH"]
+        for sequence in self.config.get_all_sequences():
+            ann_dir = f"{midgard}/{sequence}/annotation"
+            self.logger.info(f"converting annotations: {sequence}")
+            for old in glob.glob(f"{ann_dir}/*.txt"):
+                os.remove(old)
+            for src in sorted(glob.glob(f"{ann_dir}/*.csv")):
+                dst = src.replace("annot_", "image_").replace("csv", "txt")
+                rows = np.atleast_2d(np.genfromtxt(src, delimiter=","))
+                lines = []
+                for row in rows:
+                    if row.size < 5 or not np.isfinite(row[1:5]).all():
+                        continue
+                    # MIDGARD csv: frame, x, y, w, h in pixels
+                    from mav_detection_tpu.core.rectangle import Rectangle
+
+                    rect = Rectangle((row[1], row[2]), (row[3], row[4]))
+                    lines.append(rect.to_yolo(self.dataset.resolution))
+                with open(dst, "w") as f:
+                    f.writelines(lines)
+
+    def convert(self, mode: Mode) -> None:
+        """YOLO training-set export (processor.py:209-237): per train
+        sequence, emit mode-transformed images + annotation copies."""
+        dest = os.environ["YOLOv4_PATH"] + "/dataset"
+        img_dest = f"{dest}/images"
+        ann_dest = f"{dest}/labels/yolo"
+        for d in (img_dest, ann_dest):
+            create_if_not_exists(d)
+            for name in os.listdir(d):
+                p = os.path.join(d, name)
+                shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
+
+        out_idx = 0
+        for sequence in self.config.settings.get("train_sequences", []):
+            self.logger.info(f"preparing sequence {sequence}")
+            base = os.environ["MIDGARD_PATH"]
+            imgs = sorted(
+                __import__("glob").glob(f"{base}/{sequence}/images/image_*.png"))
+            anns = sorted(
+                __import__("glob").glob(f"{base}/{sequence}/annotation/*.txt"))
+            if len(imgs) != len(anns):
+                raise ValueError(
+                    f"input sizes do not match: {len(imgs)} images, {len(anns)} annotations")
+            for i, (img_src, ann_src) in enumerate(zip(imgs, anns)):
+                if mode != Mode.APPEARANCE_RGB and i >= len(imgs) - 2:
+                    continue  # last frames have no flow pair
+                dst_img = f"{img_dest}/{out_idx:06d}.png"
+                if mode == Mode.APPEARANCE_RGB:
+                    shutil.copy2(img_src, dst_img)
+                elif mode == Mode.FLOW_UV:
+                    flow = self._flow_batch([i])[0]
+                    imwrite(dst_img, flow_to_color(flow))
+                else:  # FLOW_FOE_* -> residual magnitude after ego-motion fit
+                    from mav_detection_tpu.ops.geometry import (
+                        affine_motion_field,
+                        fit_affine_ransac,
+                        subtract_global_motion,
+                    )
+
+                    flow = self._flow_batch([i])[0]
+                    h, w = flow.shape[:2]
+                    rng = np.random.default_rng(i)
+                    sy = rng.integers(20, h - 20, 1000)
+                    sx = rng.integers(20, w - 20, 1000)
+                    p0 = np.stack([sx, sy], 1).astype(np.float32)
+                    p1 = p0 + flow[sy, sx]
+                    M, _ = fit_affine_ransac(jnp.asarray(p0), jnp.asarray(p1),
+                                             jax.random.PRNGKey(i))
+                    gm = affine_motion_field(M, h, w)
+                    _, mag = subtract_global_motion(jnp.asarray(flow), gm)
+                    mag = np.asarray(mag)
+                    imwrite(dst_img, (mag * 255 / max(mag.max(), 1e-6)).astype(np.uint8))
+                shutil.copy2(ann_src, f"{ann_dest}/{out_idx:06d}.txt")
+                out_idx += 1
+
+    def undistort(self) -> None:
+        """External undistortion tool passthrough (processor.py:239-265)."""
+        import glob
+
+        exe = os.environ.get("UNDISTORT_PATH")
+        if not exe:
+            self.logger.warning("UNDISTORT_PATH not set; skipping undistort")
+            return
+        base = os.environ["MIDGARD_PATH"]
+        for sequence in self.config.get_all_sequences():
+            cal = glob.glob(f"{base}/{sequence}/info/calibration/*.txt")
+            if not cal:
+                continue
+            out_dir = f"{base}/{sequence}/undistorted"
+            create_if_not_exists(out_dir)
+            for img in sorted(glob.glob(f"{base}/{sequence}/images/image_*.png")):
+                out = f"{out_dir}/{os.path.basename(img)}"
+                if os.path.exists(out):
+                    continue
+                with open(os.devnull, "w") as devnull:
+                    subprocess.call([exe, "--run", cal[0], img, out], stdout=devnull)
+
+    def release(self) -> None:
+        self.dataset.release()

@@ -1,0 +1,314 @@
+"""RAFT-style optical flow network in Flax.
+
+Replaces the reference's FlowNet2 docker sidecar
+(``/root/reference/src/datasets/dataset.py:116-123``) with an on-device
+recurrent all-pairs flow estimator (Teed & Deng 2020, arXiv:2003.12039):
+feature/context encoders at 1/8 resolution, a 4-level all-pairs correlation
+pyramid, and a ConvGRU update operator iterated ``iters`` times.
+
+TPU-first notes:
+* The all-pairs correlation is ONE big matmul (N, C) @ (C, N) — pure MXU.
+* Correlation lookup is a bounded local window (radius r) around the current
+  flow target, materialized as shifted slices of the correlation pyramid —
+  the same bounded-window trick XLA vectorizes well, no gathers in the inner
+  loop over iterations (one gather per level per iteration, batched).
+* The GRU iteration count is static so the whole refinement unrolls into one
+  XLA program; ``jax.checkpoint`` on the update block keeps training memory
+  linear in iterations.
+* bfloat16 activations by default for MXU throughput; fp32 flow accumulators.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class RAFTConfig:
+    feature_dim: int = 128
+    hidden_dim: int = 96
+    context_dim: int = 64
+    corr_levels: int = 4
+    corr_radius: int = 4
+    iters: int = 12
+    dtype: Any = jnp.bfloat16
+
+
+class ResidualBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
+                    dtype=self.dtype)(x)
+        y = nn.relu(nn.GroupNorm(num_groups=8, dtype=self.dtype)(y))
+        y = nn.Conv(self.features, (3, 3), dtype=self.dtype)(y)
+        y = nn.GroupNorm(num_groups=8, dtype=self.dtype)(y)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1), strides=(self.stride, self.stride),
+                        dtype=self.dtype)(x)
+        return nn.relu(x + y)
+
+
+class Encoder(nn.Module):
+    """1/8-resolution convolutional encoder."""
+    output_dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(48, (7, 7), strides=(2, 2), dtype=self.dtype)(x)
+        x = nn.relu(nn.GroupNorm(num_groups=8, dtype=self.dtype)(x))
+        x = ResidualBlock(48, dtype=self.dtype)(x)
+        x = ResidualBlock(72, stride=2, dtype=self.dtype)(x)
+        x = ResidualBlock(96, stride=2, dtype=self.dtype)(x)
+        return nn.Conv(self.output_dim, (1, 1), dtype=self.dtype)(x)
+
+
+def all_pairs_correlation(f1: jax.Array, f2: jax.Array) -> jax.Array:
+    """(h, w, c) x2 -> (h, w, h, w) correlation volume via one MXU matmul."""
+    h, w, c = f1.shape
+    a = f1.reshape(h * w, c).astype(jnp.float32)
+    b = f2.reshape(h * w, c).astype(jnp.float32)
+    corr = jnp.dot(a, b.T, preferred_element_type=jnp.float32)
+    return corr.reshape(h, w, h, w) / jnp.sqrt(jnp.float32(c))
+
+
+def build_corr_pyramid(corr: jax.Array, levels: int) -> Sequence[jax.Array]:
+    """Average-pool the target dims of the volume into a pyramid."""
+    h, w = corr.shape[:2]
+    pyramid = [corr]
+    cur = corr.reshape(h * w, corr.shape[2], corr.shape[3], 1)
+    for _ in range(levels - 1):
+        cur = nn.avg_pool(cur, (2, 2), strides=(2, 2))
+        pyramid.append(cur.reshape(h, w, cur.shape[1], cur.shape[2]))
+    return pyramid
+
+
+def lookup_corr(pyramid: Sequence[jax.Array], flow: jax.Array,
+                radius: int) -> jax.Array:
+    """Sample each pyramid level in a (2r+1)^2 window around x + flow.
+
+    Returns (h, w, levels*(2r+1)^2) correlation features.
+    """
+    h, w = flow.shape[:2]
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    outs = []
+    for lvl, corr in enumerate(pyramid):
+        th, tw = corr.shape[2], corr.shape[3]
+        scale = 2.0 ** lvl
+        cx = (xs + flow[..., 0]) / scale
+        cy = (ys + flow[..., 1]) / scale
+        flat = corr.reshape(h * w, th, tw)
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                gx = jnp.clip(cx + dx, 0, tw - 1)
+                gy = jnp.clip(cy + dy, 0, th - 1)
+                x0 = jnp.floor(gx)
+                y0 = jnp.floor(gy)
+                fx = gx - x0
+                fy = gy - y0
+                x0i = x0.astype(jnp.int32)
+                y0i = y0.astype(jnp.int32)
+                x1i = jnp.minimum(x0i + 1, tw - 1)
+                y1i = jnp.minimum(y0i + 1, th - 1)
+                rows = jnp.arange(h * w)
+                x0f = x0i.reshape(-1)
+                y0f = y0i.reshape(-1)
+                x1f = x1i.reshape(-1)
+                y1f = y1i.reshape(-1)
+                v = ((1 - fx).reshape(-1) * (1 - fy).reshape(-1) * flat[rows, y0f, x0f]
+                     + fx.reshape(-1) * (1 - fy).reshape(-1) * flat[rows, y0f, x1f]
+                     + (1 - fx).reshape(-1) * fy.reshape(-1) * flat[rows, y1f, x0f]
+                     + fx.reshape(-1) * fy.reshape(-1) * flat[rows, y1f, x1f])
+                outs.append(v.reshape(h, w))
+    return jnp.stack(outs, axis=-1)
+
+
+class ConvGRU(nn.Module):
+    hidden_dim: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, h, x):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), dtype=self.dtype)(hx))
+        r = nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), dtype=self.dtype)(hx))
+        q = nn.tanh(nn.Conv(self.hidden_dim, (3, 3), dtype=self.dtype)(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1 - z) * h + z * q
+
+
+class UpdateBlock(nn.Module):
+    config: RAFTConfig
+
+    @nn.compact
+    def __call__(self, hidden, context, corr_feat, flow):
+        cfg = self.config
+        dt = cfg.dtype
+        c = nn.relu(nn.Conv(96, (1, 1), dtype=dt)(corr_feat.astype(dt)))
+        c = nn.relu(nn.Conv(64, (3, 3), dtype=dt)(c))
+        f = nn.relu(nn.Conv(64, (7, 7), dtype=dt)(flow.astype(dt)))
+        f = nn.relu(nn.Conv(32, (3, 3), dtype=dt)(f))
+        motion = nn.Conv(80, (3, 3), dtype=dt)(jnp.concatenate([c, f], axis=-1))
+        motion = jnp.concatenate([nn.relu(motion), flow.astype(dt)], axis=-1)
+
+        inp = jnp.concatenate([motion, context], axis=-1)
+        hidden = ConvGRU(cfg.hidden_dim, dtype=dt)(hidden, inp)
+
+        dflow = nn.Conv(2, (3, 3), dtype=jnp.float32,
+                        name="flow_head")(nn.relu(
+                            nn.Conv(128, (3, 3), dtype=dt)(hidden)).astype(jnp.float32))
+        # convex upsampling mask (8x8 neighborhood of 9 weights)
+        mask = nn.Conv(8 * 8 * 9, (1, 1), dtype=jnp.float32, name="mask_head")(
+            nn.relu(nn.Conv(128, (3, 3), dtype=dt)(hidden)).astype(jnp.float32))
+        return hidden, dflow, mask
+
+
+def convex_upsample(flow: jax.Array, mask: jax.Array) -> jax.Array:
+    """8x upsample flow with learned convex combinations of 3x3 neighbors."""
+    h, w, _ = flow.shape
+    mask = mask.reshape(h, w, 8, 8, 9)
+    mask = jax.nn.softmax(mask, axis=-1)
+    # 3x3 neighborhoods of the coarse flow (x8 scaling of the values)
+    pads = jnp.pad(flow * 8.0, ((1, 1), (1, 1), (0, 0)), mode="edge")
+    neighbors = jnp.stack([
+        pads[dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)
+    ], axis=-1)  # (h, w, 2, 9)
+    # mask: (h, w, 8, 8, 9), neighbors: (h, w, 2, 9)
+    up = jnp.einsum("hwabj,hwcj->hwabc", mask, neighbors)
+    return up.transpose(0, 2, 1, 3, 4).reshape(h * 8, w * 8, 2)
+
+
+class RAFT(nn.Module):
+    config: RAFTConfig = RAFTConfig()
+
+    @nn.compact
+    def __call__(self, image1: jax.Array, image2: jax.Array,
+                 iters: int = 0) -> Tuple[jax.Array, list]:
+        """(h, w, 3) uint8/float image pair -> (h, w, 2) flow + per-iter list."""
+        cfg = self.config
+        iters = iters or cfg.iters
+        x1 = image1.astype(jnp.float32) / 127.5 - 1.0
+        x2 = image2.astype(jnp.float32) / 127.5 - 1.0
+
+        fnet = Encoder(cfg.feature_dim, dtype=cfg.dtype, name="fnet")
+        f1 = fnet(x1)
+        f2 = fnet(x2)
+        cnet = Encoder(cfg.hidden_dim + cfg.context_dim, dtype=cfg.dtype,
+                       name="cnet")(x1)
+        hidden = nn.tanh(cnet[..., :cfg.hidden_dim])
+        context = nn.relu(cnet[..., cfg.hidden_dim:])
+
+        corr = all_pairs_correlation(f1, f2)
+        pyramid = build_corr_pyramid(corr, cfg.corr_levels)
+
+        h8, w8 = f1.shape[0], f1.shape[1]
+        flow = jnp.zeros((h8, w8, 2), jnp.float32)
+        update = UpdateBlock(cfg, name="update")
+
+        predictions = []
+        up_flow = None
+        for _ in range(iters):
+            corr_feat = lookup_corr(pyramid, flow, cfg.corr_radius)
+            hidden, dflow, mask = update(hidden, context, corr_feat, flow)
+            flow = flow + dflow
+            up_flow = convex_upsample(flow, mask)
+            predictions.append(up_flow)
+        return up_flow, predictions
+
+
+# --------------------------------------------------------------- interface
+_RAFT_CACHE: dict = {}
+
+
+def create_raft(key: jax.Array = None, config: RAFTConfig = RAFTConfig(),
+                image_hw: Tuple[int, int] = (384, 512)):
+    """Initialize (model, params). Input dims must be multiples of 8."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    model = RAFT(config)
+    h, w = image_hw
+    dummy = jnp.zeros((h, w, 3), jnp.float32)
+    params = model.init(key, dummy, dummy, config.iters)
+    return model, params
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "config"))
+def _raft_apply(params, img1, img2, iters, config: RAFTConfig = RAFTConfig()):
+    flow, _ = RAFT(config).apply(params, img1, img2, iters)
+    return flow
+
+
+def raft_flow(params, image1: jax.Array, image2: jax.Array,
+              iters: int = 12, config: RAFTConfig = RAFTConfig()) -> jax.Array:
+    """Dense flow from a trained/initialized RAFT. Pads to multiples of 8."""
+    h, w = image1.shape[:2]
+    ph = (-h) % 8
+    pw = (-w) % 8
+    if image1.ndim == 2:
+        image1 = jnp.repeat(image1[..., None], 3, axis=-1)
+        image2 = jnp.repeat(image2[..., None], 3, axis=-1)
+    if ph or pw:
+        image1 = jnp.pad(image1, ((0, ph), (0, pw), (0, 0)), mode="edge")
+        image2 = jnp.pad(image2, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    flow = _raft_apply(params, image1, image2, iters, config)
+    return flow[:h, :w]
+
+
+def raft_flow_batch(images1: jax.Array, images2: jax.Array,
+                    params=None, iters: int = 12) -> jax.Array:
+    """Batched inference; initializes fresh params when none are supplied
+    (untrained weights — produces valid-shaped but uninformative flow until a
+    checkpoint is loaded via models.checkpoint)."""
+    if params is None:
+        key = ("default", images1.shape[1:3])
+        if key not in _RAFT_CACHE:
+            _, _RAFT_CACHE[key] = create_raft(
+                image_hw=(images1.shape[1] + (-images1.shape[1]) % 8,
+                          images1.shape[2] + (-images1.shape[2]) % 8))
+        params = _RAFT_CACHE[key]
+    return jax.vmap(lambda a, b: raft_flow(params, a, b, iters))(images1, images2)
+
+
+# ---------------------------------------------------------------- training
+def raft_loss(params, model: RAFT, img1, img2, flow_gt, gamma: float = 0.8,
+              iters: int = 12):
+    """Sequence L1 loss with exponential weighting (RAFT eq. 7)."""
+    _, preds = model.apply(params, img1, img2, iters)
+    n = len(preds)
+    loss = 0.0
+    for i, pred in enumerate(preds):
+        weight = gamma ** (n - i - 1)
+        loss = loss + weight * jnp.mean(jnp.abs(pred - flow_gt))
+    return loss
+
+
+def make_train_step(model: RAFT, optimizer, iters: int = 12):
+    """Returns a jittable (params, opt_state, batch) -> (params, opt_state, loss)
+    step; vmapped over the batch internally so it shards over a data mesh."""
+
+    def loss_fn(params, img1, img2, flow_gt):
+        per_example = jax.vmap(
+            lambda a, b, f: raft_loss(params, model, a, b, f, iters=iters))
+        return jnp.mean(per_example(img1, img2, flow_gt))
+
+    @jax.jit
+    def train_step(params, opt_state, img1, img2, flow_gt):
+        loss, grads = jax.value_and_grad(loss_fn)(params, img1, img2, flow_gt)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        import optax
+
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step

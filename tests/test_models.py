@@ -1,0 +1,180 @@
+"""Model-family tests: RAFT, sky UNet, YOLO head, checkpointing."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mav_detection_tpu.models.raft import (
+    RAFT,
+    RAFTConfig,
+    all_pairs_correlation,
+    create_raft,
+    make_train_step,
+    raft_flow,
+)
+from mav_detection_tpu.models.sky_segmentation import create_sky_model, sky_mask, sky_loss
+from mav_detection_tpu.models.yolo import (
+    create_yolo,
+    decode_predictions,
+    detect_boxes,
+    yolo_loss,
+)
+
+
+TINY = RAFTConfig(feature_dim=32, hidden_dim=32, context_dim=32,
+                  corr_levels=2, corr_radius=2, iters=2)
+
+
+class TestRAFT:
+    def test_correlation_is_matmul(self):
+        rng = np.random.default_rng(0)
+        f1 = jnp.asarray(rng.random((4, 6, 8)).astype(np.float32))
+        f2 = jnp.asarray(rng.random((4, 6, 8)).astype(np.float32))
+        corr = np.asarray(all_pairs_correlation(f1, f2))
+        assert corr.shape == (4, 6, 4, 6)
+        ref = np.einsum("ijc,klc->ijkl", np.asarray(f1), np.asarray(f2)) / np.sqrt(8)
+        np.testing.assert_allclose(corr, ref, rtol=1e-4)
+
+    def test_forward_shapes(self):
+        model, params = create_raft(config=TINY, image_hw=(64, 96))
+        img = jnp.zeros((64, 96, 3), jnp.float32)
+        flow, preds = jax.jit(
+            lambda p, a, b: RAFT(TINY).apply(p, a, b, 2))(params, img, img)
+        assert flow.shape == (64, 96, 2)
+        assert len(preds) == 2
+
+    def test_zero_motion_small_flow(self):
+        """Untrained but with identical inputs the correlation argmax is at
+        zero displacement; flow magnitude must stay modest."""
+        model, params = create_raft(config=TINY, image_hw=(64, 96))
+        rng = np.random.default_rng(1)
+        img = jnp.asarray(rng.random((64, 96, 3)).astype(np.float32) * 255)
+        flow = raft_flow(params, img, img, iters=2, config=TINY)
+        assert np.isfinite(np.asarray(flow)).all()
+
+    def test_train_step_reduces_loss(self):
+        import optax
+
+        model, params = create_raft(config=TINY, image_hw=(32, 48))
+        opt = optax.adam(3e-4)
+        opt_state = opt.init(params)
+        step = make_train_step(model, opt, iters=2)
+
+        rng = np.random.default_rng(2)
+        img1 = jnp.asarray(rng.random((2, 32, 48, 3)).astype(np.float32) * 255)
+        img2 = img1
+        flow_gt = jnp.zeros((2, 32, 48, 2), jnp.float32)
+
+        losses = []
+        for _ in range(8):
+            params, opt_state, loss = step(params, opt_state, img1, img2, flow_gt)
+            losses.append(float(loss))
+        # fresh adam state spikes on step 1; require net descent afterwards
+        assert all(np.isfinite(losses))
+        assert min(losses[2:]) < losses[0]
+
+
+class TestSkyUNet:
+    def test_forward_and_mask(self):
+        model, params = create_sky_model(image_hw=(64, 96))
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((60, 90, 3)).astype(np.float32) * 255)
+        mask = sky_mask(params, img)
+        assert mask.shape == (60, 90)
+        assert mask.dtype == jnp.bool_
+
+    def test_loss_trains(self):
+        import optax
+
+        model, params = create_sky_model(image_hw=(32, 48))
+        opt = optax.adam(2e-2)
+        opt_state = opt.init(params)
+        rng = np.random.default_rng(1)
+        img_np = rng.random((32, 48, 3)).astype(np.float32) * 120
+        img_np[:12] += 120  # bright sky band: give the net real signal
+        img = jnp.asarray(img_np)
+        gt = jnp.zeros((32, 48), bool).at[:12].set(True)  # top band = sky
+
+        @jax.jit
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(sky_loss)(params, model, img, gt)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for _ in range(40):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+        assert min(losses[5:]) < losses[0]
+        # after training, the mask should prefer the sky band strongly
+        learned = np.asarray(sky_mask(params, img))
+        assert learned[:12].mean() > 0.6
+        assert learned[20:].mean() < learned[:12].mean() - 0.3
+
+
+class TestYOLO:
+    def test_forward_and_decode(self):
+        model, params = create_yolo(image_hw=(96, 128))
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.random((96, 128, 3)).astype(np.float32) * 255)
+        boxes = detect_boxes(params, img, score_threshold=0.0)
+        assert boxes.xywh.shape == (16, 4)
+        assert np.isfinite(np.asarray(boxes.xywh)).all()
+
+    def test_nms_suppresses_overlaps(self):
+        # two adjacent cells predicting big same-anchor boxes -> high IoU
+        raw = np.full((4, 4, 15), -10.0, np.float32)
+        for cell in ((2, 2), (2, 3)):
+            raw[cell][0] = 8.0          # anchor-0 objectness
+            raw[cell][3] = 2.0          # log-size: w ~ e^2 * 12 ~ 88 px
+            raw[cell][4] = 2.0
+        boxes = decode_predictions(jnp.asarray(raw), stride=16,
+                                   score_threshold=0.5)
+        assert int(np.asarray(boxes.valid).sum()) == 1
+
+    def test_loss_trains_on_synthetic_target(self):
+        import optax
+
+        model, params = create_yolo(image_hw=(64, 64))
+        opt = optax.adam(1e-3)
+        opt_state = opt.init(params)
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.random((64, 64, 3)).astype(np.float32) * 255)
+        target = (32.0, 32.0, 14.0, 14.0)
+
+        @jax.jit
+        def step(params, opt_state):
+            loss, grads = jax.value_and_grad(yolo_loss)(
+                params, model, img, target)
+            updates, opt_state = opt.update(grads, opt_state)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        losses = []
+        for _ in range(20):
+            params, opt_state, loss = step(params, opt_state)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0] * 0.5
+        boxes = detect_boxes(params, img, score_threshold=0.5)
+        assert bool(np.asarray(boxes.valid).any())
+        best = np.asarray(boxes.xywh)[0]
+        assert abs(best[0] - 32) < 8 and abs(best[1] - 32) < 8
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        from mav_detection_tpu.models import checkpoint
+
+        model, params = create_sky_model(image_hw=(32, 48))
+        path = str(tmp_path / "ckpt")
+        checkpoint.save(path, params)
+        back = checkpoint.load(path, like=params)
+        leaves1 = jax.tree_util.tree_leaves(params)
+        leaves2 = jax.tree_util.tree_leaves(back)
+        for a, b in zip(leaves1, leaves2):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_load_if_exists_missing(self, tmp_path):
+        from mav_detection_tpu.models import checkpoint
+
+        assert checkpoint.load_if_exists(str(tmp_path / "nope")) is None

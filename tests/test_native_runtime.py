@@ -1,0 +1,69 @@
+"""Native (C++) runtime loader tests: codec parity, batch, prefetch order."""
+import os
+
+import numpy as np
+import pytest
+
+from mav_detection_tpu.core.flo import read_flow as py_read, write_flow as py_write
+
+native = pytest.importorskip("mav_detection_tpu.runtime.native_loader")
+
+
+@pytest.fixture(scope="module")
+def flo_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("flo")
+    rng = np.random.default_rng(0)
+    paths = []
+    for i in range(12):
+        f = rng.normal(size=(40, 60, 2)).astype(np.float32)
+        p = str(d / f"{i:06d}.flo")
+        py_write(p, f)
+        paths.append(p)
+    return paths
+
+
+class TestNativeCodec:
+    def test_read_parity(self, flo_dir):
+        a = native.read_flow(flo_dir[0])
+        b = py_read(flo_dir[0])
+        np.testing.assert_array_equal(a, b)
+
+    def test_write_parity(self, flo_dir, tmp_path):
+        f = py_read(flo_dir[1])
+        p = str(tmp_path / "n.flo")
+        native.write_flow(p, f)
+        np.testing.assert_array_equal(py_read(p), f)
+
+    def test_batch(self, flo_dir):
+        batch = native.read_flow_batch(flo_dir, n_threads=3)
+        assert batch.shape == (12, 40, 60, 2)
+        for i in (0, 5, 11):
+            np.testing.assert_array_equal(batch[i], py_read(flo_dir[i]))
+
+    def test_corrupt_file_raises(self, tmp_path):
+        bad = str(tmp_path / "bad.flo")
+        with open(bad, "wb") as f:
+            f.write(b"garbage")
+        with pytest.raises(IOError):
+            native.read_flow(bad)
+
+    def test_wrong_shape_batch_raises(self, flo_dir, tmp_path):
+        odd = str(tmp_path / "odd.flo")
+        py_write(odd, np.zeros((8, 8, 2), np.float32))
+        with pytest.raises(IOError):
+            native.read_flow_batch([flo_dir[0], odd])
+
+
+class TestPrefetcher:
+    def test_in_order_complete(self, flo_dir):
+        pf = native.FloPrefetcher(flo_dir, depth=3, n_threads=2)
+        got = list(pf)
+        pf.close()
+        assert len(got) == len(flo_dir)
+        for g, p in zip(got, flo_dir):
+            np.testing.assert_array_equal(g, py_read(p))
+
+    def test_early_close_no_hang(self, flo_dir):
+        pf = native.FloPrefetcher(flo_dir, depth=2, n_threads=2)
+        next(pf)
+        pf.close()  # must not deadlock with producers mid-flight

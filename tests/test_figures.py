@@ -1,0 +1,104 @@
+"""Analysis/figure generator tests over the synthetic fixture."""
+import os
+
+import numpy as np
+import pytest
+
+from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
+from mav_detection_tpu.eval.figures import (
+    expected_pixel_flow,
+    foe_angular_error_map,
+    foe_error_histograms,
+    plot_states,
+    radial_error_histogram,
+    radial_error_model,
+    remove_empty_segmentations,
+    tpr_fpr_vs_flow,
+)
+
+
+@pytest.fixture(scope="module")
+def ds():
+    return SyntheticDataset(params=SyntheticParams(
+        height=120, width=160, n_frames=8, expansion=0.035, foe=(95.0, 55.0)))
+
+
+@pytest.fixture(scope="module")
+def results_dir(tmp_path_factory, ds):
+    """Generate real results via the pipeline once."""
+    import jax
+
+    from mav_detection_tpu.core.config import RunConfig
+    from mav_detection_tpu.core.frame_result import FrameResult
+    from mav_detection_tpu.pipeline.processor import Processor
+
+    d = tmp_path_factory.mktemp("res")
+    cfg = RunConfig(dataset="synthetic", mode="FLOW_FOE_CLUSTERING",
+                    flow_source="GROUND_TRUTH", headless=True)
+    cfg.get_dataset = lambda: SyntheticDataset(
+        params=SyntheticParams(height=120, width=160, n_frames=8,
+                               expansion=0.035, foe=(95.0, 55.0)),
+        materialize_to=str(d))
+    proc = Processor(cfg)
+    proc.run_detection()
+    return proc.dataset.results_path
+
+
+class TestFigures:
+    def test_foe_error_histograms(self, results_dir, tmp_path):
+        stats = foe_error_histograms({"run": results_dir},
+                                     out_dir=str(tmp_path / "out"))
+        assert "run" in stats
+        assert abs(stats["run"]["mean"][0]) < 10
+        assert os.path.exists(tmp_path / "out" / "foe-error.png")
+
+    def test_tpr_fpr_vs_flow(self, results_dir, tmp_path):
+        out = tpr_fpr_vs_flow({"v1": results_dir}, out_dir=str(tmp_path / "o"))
+        assert out["tpr"].shape == (1,)
+        assert os.path.exists(tmp_path / "o" / "tpr_fpr_vs_flow.png")
+
+    def test_angular_error_map(self, ds, tmp_path):
+        out = str(tmp_path / "map.png")
+        avg = foe_angular_error_map(ds, n_frames=4, out_path=out)
+        assert avg.shape == (120, 160)
+        # GT flow + GT FoE (minus rotation contamination) -> small angles off-drone
+        assert np.median(avg) < 25.0
+        assert os.path.exists(out)
+
+    def test_radial_error_histogram(self, ds, tmp_path):
+        out = str(tmp_path / "rad.png")
+        res = radial_error_histogram(ds, n_frames=3, out_path=out)
+        assert res["mag"].size > 0
+        assert os.path.exists(out)
+
+    def test_radial_model_shape(self):
+        hi, lo = radial_error_model(np.array([1.0, 8.0]))
+        np.testing.assert_allclose(hi, [0.25 + 8.5, 0.25 + 1.5])
+        np.testing.assert_allclose(lo, [0.25 - 8.5, 0.25 - 1.5])
+
+    def test_plot_states(self, ds, tmp_path):
+        out = str(tmp_path / "states.png")
+        plot_states(ds, out_path=out)
+        assert os.path.exists(out)
+
+
+class TestTools:
+    def test_remove_empty_segmentations(self, tmp_path):
+        from mav_detection_tpu.data.dataset import imwrite
+
+        seg = tmp_path / "segs"
+        seg.mkdir()
+        imwrite(str(seg / "image_00000.png"), np.zeros((8, 8, 3), np.uint8))
+        full = np.zeros((8, 8, 3), np.uint8)
+        full[2:4] = 255
+        imwrite(str(seg / "image_00001.png"), full)
+        removed = remove_empty_segmentations(str(seg))
+        assert removed == 1
+        assert not os.path.exists(seg / "image_00000.png")
+        assert os.path.exists(seg / "image_00001.png")
+
+    def test_expected_pixel_flow(self):
+        # 10 m/s target at 100 m, 90-degree FoV, 1000 px wide, 30 fps:
+        # focal = 500 px, angular rate 0.1 rad/s -> 50/30 px/frame
+        v = expected_pixel_flow(10.0, 100.0, 90.0, 1000, 30.0)
+        assert v == pytest.approx(500 * 0.1 / 30.0, rel=1e-6)

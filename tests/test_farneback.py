@@ -95,3 +95,32 @@ class TestGrayConversion:
         ours = np.asarray(bgr_to_gray(jnp.asarray(img)))
         # rounding at .5 boundaries may differ by 1
         assert np.abs(ours.astype(int) - ref.astype(int)).max() <= 1
+
+
+class TestSeparableWarp:
+    def test_separable_matches_gather_mode(self):
+        """The no-gather warp path must track the exact path within 0.01 px."""
+        prev, curr = make_pair(blur=1.5, seed=11)
+        p_exact = FarnebackParams()
+        p_sep = FarnebackParams(warp="separable")
+        exact = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr), p_exact))
+        sep = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr), p_sep))
+        epe = np.linalg.norm(exact - sep, axis=-1)
+        assert epe[INNER].mean() < 0.01
+
+    def test_separable_epe_vs_cv2(self):
+        prev, curr = make_pair(blur=1.5, seed=12)
+        ref = cv2.calcOpticalFlowFarneback(prev, curr, None, 0.4, 1, 12, 10, 8, 1.2, 0)
+        sep = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr),
+                                        FarnebackParams(warp="separable")))
+        epe = np.linalg.norm(sep - ref, axis=-1)
+        assert epe[INNER].mean() < 0.05
+        assert epe.mean() < 0.1
+
+    def test_large_displacement_clamps_gracefully(self):
+        """Motion beyond max_shift must not produce NaN/inf (clamped shifts)."""
+        prev, curr = make_pair(d=(25.0, 0.0), blur=1.5, seed=13)
+        sep = np.asarray(farneback_flow(
+            jnp.asarray(prev), jnp.asarray(curr),
+            FarnebackParams(warp="separable", max_shift=8)))
+        assert np.isfinite(sep).all()

@@ -122,6 +122,17 @@ class Dataset:
         self.hrnet_out = f"{self.half_res_img_path}/hrnet"
         self.flow_path = f"{self.img_path}/output/inference/run.epoch-0-flow-field"
 
+        # idempotent preprocessing (reference dataset.py:47-105): recover
+        # frames from a recording, normalize stray jpgs and indices
+        from mav_detection_tpu.data import preprocessing as prep
+
+        vid_path = f"{self.seq_path}/recording.mp4"
+        if os.path.isdir(self.img_path):
+            prep.jpgs_to_pngs(self.img_path)
+        if not glob.glob(f"{self.img_path}/image_*.png") and os.path.exists(vid_path):
+            prep.video_to_images(vid_path, f"{self.img_path}/image_%5d.png")
+            prep.renormalize_indices(self.img_path)
+
         self._frames = sorted_glob(f"{self.img_path}/image_*.png")
         self.N = len(self._frames)
         if self.N == 0:

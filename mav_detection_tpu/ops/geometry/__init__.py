@@ -2,6 +2,7 @@ from mav_detection_tpu.ops.geometry.foe import (
     line_intersections,
     foe_ransac,
     get_foe_dense,
+    get_foe_sparse,
     get_phi,
 )
 from mav_detection_tpu.ops.geometry.derotation import derotation_field, derotate
@@ -35,6 +36,7 @@ __all__ = [
     "line_intersections",
     "foe_ransac",
     "get_foe_dense",
+    "get_foe_sparse",
     "get_phi",
     "derotation_field",
     "derotate",

@@ -125,6 +125,30 @@ def get_foe_dense(
 
 
 @jax.jit
+def get_foe_sparse(points_old: jax.Array, points_new: jax.Array,
+                   valid: jax.Array,
+                   ransac_threshold: float = RANSAC_THRESHOLD) -> jax.Array:
+    """Sparse-track FoE: intersect motion lines of tracked features.
+
+    Device reformulation of the reference's LK-trace variant
+    (``focus_of_expansion.py:88-148``): each valid track (old -> new) defines
+    a motion line; lines are paired with a rolled copy of themselves (the
+    reference pairs each line with a random other line), intersected, and the
+    same consensus vote picks the FoE. Fixed shapes; invalid tracks are
+    masked out rather than filtered.
+    """
+    d = points_new - points_old
+    # pair each line with its rolled neighbor (a fixed derangement)
+    p2 = jnp.roll(points_new, 1, axis=0)
+    d2 = jnp.roll(d, 1, axis=0)
+    v2 = jnp.roll(valid, 1, axis=0)
+    pts, ok = line_intersections(points_new, -d, p2, -d2)
+    ok = ok & valid & v2 & (jnp.linalg.norm(d, axis=-1) > 0.5)
+    pts = jnp.where(ok[..., None], pts, 0.0)
+    return foe_ransac(pts, ok, ransac_threshold)
+
+
+@jax.jit
 def get_phi(derotated_flow_uv: jax.Array, foe: jax.Array) -> jax.Array:
     """Per-pixel angle (degrees) between flow vector and the ray from the FoE.
 

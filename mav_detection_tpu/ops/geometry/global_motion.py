@@ -54,3 +54,22 @@ def subtract_global_motion(flow_uv: jax.Array, global_motion: jax.Array
     residual = global_motion - flow_uv
     mag = jnp.linalg.norm(residual, axis=-1)
     return residual, mag
+
+
+def warp_diff_method(flow_uv: jax.Array, M: jax.Array,
+                     homography: bool = False) -> Tuple[jax.Array, jax.Array]:
+    """Warp-and-diff ego-motion removal (reference ``Detector.warp_method``,
+    ``detector.py:204-240``): warp the flow field by the fitted transform,
+    backfill zero-warped pixels from the original, and return
+    (flow difference, its magnitude)."""
+    from mav_detection_tpu.ops.geometry.warp import warp_affine, warp_perspective
+
+    if homography:
+        stable = warp_perspective(flow_uv, M)
+    else:
+        stable = warp_affine(flow_uv, M)
+    # pixels the warp left empty keep the original flow (reference :226-228)
+    empty = jnp.all(stable == 0.0, axis=-1, keepdims=True)
+    patched = jnp.where(empty, stable, flow_uv)
+    diff = patched - stable
+    return diff, jnp.linalg.norm(diff, axis=-1)

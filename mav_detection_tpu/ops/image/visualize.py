@@ -132,6 +132,49 @@ def apply_colormap(img: np.ndarray, max_value: Optional[float] = None) -> np.nda
     return _JET[gray]
 
 
+def get_flow_radial(flow_vis_bgr: np.ndarray) -> np.ndarray:
+    """Hue-only (radial direction) view of a flow visualization: saturation
+    and value forced to max (reference ``im_helpers.get_flow_radial``,
+    ``im_helpers.py:87-100``)."""
+    import colorsys
+
+    bgr = flow_vis_bgr.astype(np.float32) / 255.0
+    r, g, b = bgr[..., 2], bgr[..., 1], bgr[..., 0]
+    maxc = np.max(bgr[..., :3], axis=-1)
+    minc = np.min(bgr[..., :3], axis=-1)
+    delta = np.where(maxc - minc > 1e-6, maxc - minc, 1.0)
+    h = np.zeros_like(maxc)
+    h = np.where(maxc == r, ((g - b) / delta) % 6, h)
+    h = np.where(maxc == g, (b - r) / delta + 2, h)
+    h = np.where(maxc == b, (r - g) / delta + 4, h)
+    h = h / 6.0
+    # hsv -> bgr with s = v = 1
+    i = (h * 6).astype(int) % 6
+    f = h * 6 - np.floor(h * 6)
+    p = np.zeros_like(h)
+    q = 1 - f
+    t = f
+    lut = [(1, t, p), (q, 1, p), (p, 1, t), (p, q, 1), (t, p, 1), (1, p, q)]
+    out = np.zeros(flow_vis_bgr.shape[:2] + (3,), np.float32)
+    for k, (rr, gg, bb) in enumerate(lut):
+        m = i == k
+        out[m, 2] = np.broadcast_to(rr, h.shape)[m]
+        out[m, 1] = np.broadcast_to(gg, h.shape)[m]
+        out[m, 0] = np.broadcast_to(bb, h.shape)[m]
+    return (out * 255).astype(np.uint8)
+
+
+def get_fft_magnitude(frame: np.ndarray) -> np.ndarray:
+    """Log-magnitude FFT spectrum of the first channel (reference
+    ``im_helpers.get_fft``, ``im_helpers.py:203-209``)."""
+    chan = frame[..., 0] if frame.ndim == 3 else frame
+    f = np.fft.fftshift(np.fft.fft2(chan))
+    mag = 20 * np.log(np.abs(f) + 1e-12)
+    out = np.zeros(chan.shape + (3,), np.float32)
+    out[..., 0] = mag
+    return out
+
+
 def colorbar_image(height: int = 200, width: int = 30) -> np.ndarray:
     img = np.zeros((height, width), dtype=np.uint8)
     img[:] = np.arange(height, dtype=np.uint8)[:, None]

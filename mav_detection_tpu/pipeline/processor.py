@@ -81,6 +81,77 @@ class Processor:
 
     # ------------------------------------------------------------- detect
     def run_detection(self) -> Dict[int, FrameResult]:
+        from mav_detection_tpu.core.config import Algorithm
+
+        if self.config.algorithm == Algorithm.HOMOGRAPHY:
+            return self.run_detection_homography()
+        return self.run_detection_foe()
+
+    def run_detection_homography(self) -> Dict[int, FrameResult]:
+        """Homography-branch detection (reference processor.py:286-303):
+        fit transform on sampled flow, synthesize + subtract global motion,
+        cluster the residual magnitude, box-search the brightest window, and
+        report IoU against the ground-truth annotation."""
+        from mav_detection_tpu.core.rectangle import Rectangle
+        from mav_detection_tpu.ops.geometry import (
+            fit_homography_lstsq,
+            homography_motion_field,
+            subtract_global_motion,
+        )
+        from mav_detection_tpu.ops.geometry.boxsearch import (
+            analyze_pyramid,
+            optimize_window,
+        )
+        from mav_detection_tpu.ops.geometry.kmeans import cluster_image
+
+        ds = self.dataset
+        h, w = ds.capture_shape[:2]
+        rng = np.random.default_rng(0)
+        border = 20
+        key = jax.random.PRNGKey(0)
+
+        out_dir = os.path.join(ds.seq_path, "processed") if ds.seq_path else ""
+        if out_dir:
+            create_if_not_exists(out_dir)
+            create_if_not_exists(ds.results_path)
+
+        for i in range(ds.N - 1):
+            flow = self._flow_batch([i])[0]
+            sy = rng.integers(border, h - border, 1000)
+            sx = rng.integers(border, w - border, 1000)
+            p0 = np.stack([sx, sy], 1).astype(np.float32)
+            p1 = p0 + flow[sy, sx]
+            H = fit_homography_lstsq(jnp.asarray(p0), jnp.asarray(p1))
+            gm = homography_motion_field(H, h, w)
+            residual, mag = subtract_global_motion(jnp.asarray(flow), gm)
+            key, sub = jax.random.split(key)
+            quant, mask = cluster_image(mag, sub)
+            res = analyze_pyramid(quant.astype(jnp.float32))
+            _, box = optimize_window(
+                jnp.where(mask, mag, 0.0), res.box_xywh)
+            bx = np.asarray(box)
+            rect = Rectangle((float(bx[0]), float(bx[1])),
+                             (float(bx[2]), float(bx[3])))
+            gts = ds.get_annotation(i)
+            iou = max((Rectangle.calculate_iou(rect, gt) for gt in gts),
+                      default=0.0)
+
+            fr = FrameResult(time=float(ds.get_time(i)), tpr=float(iou))
+            self.detection_results[i] = fr
+            self.config.results[i] = fr
+            if out_dir:
+                with open(os.path.join(ds.results_path,
+                                       f"image_{i:05d}.json"), "w") as f:
+                    f.write(fr.to_json())
+                # debug mosaic: frame | global-motion vis | residual vis
+                frame = np.asarray(ds.get_frame(i))
+                gm_vis = flow_to_color(np.asarray(gm))
+                res_vis = flow_to_color(np.asarray(residual))
+                mosaic = np.hstack([frame[..., :3], gm_vis, res_vis])
+                imwrite(os.path.join(out_dir, f"image_{i:05d}.png"), mosaic)
+        return self.detection_results
+
+    def run_detection_foe(self) -> Dict[int, FrameResult]:
         ds = self.dataset
         n_pairs = ds.N - 1
         h, w = ds.capture_shape[:2]

@@ -224,3 +224,57 @@ class TestGraftEntry:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestHomographyBranch:
+    def test_homography_detection_runs(self, tmp_path, monkeypatch):
+        from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
+
+        monkeypatch.chdir(tmp_path)
+        cfg = RunConfig(dataset="synthetic", mode="FLOW_FOE_CLUSTERING",
+                        algorithm="HOMOGRAPHY", flow_source="GROUND_TRUTH",
+                        headless=True)
+        cfg.get_dataset = lambda: SyntheticDataset(
+            params=SMALL, materialize_to=str(tmp_path))
+        proc = Processor(cfg)
+        results = proc.run_detection()
+        assert len(results) == SMALL.n_frames - 1
+        # mosaic artifacts written (frame | global motion | residual)
+        import glob as _glob
+
+        mosaics = _glob.glob(str(tmp_path / "synthetic" / "forward-flight"
+                                 / "processed" / "*.png"))
+        assert len(mosaics) == SMALL.n_frames - 1
+
+
+class TestSparseFoe:
+    def test_sparse_foe_from_tracks(self):
+        from mav_detection_tpu.ops.geometry import get_foe_sparse
+
+        rng = np.random.default_rng(0)
+        foe = np.array([80.0, 40.0])
+        pts_new = rng.uniform(0, 120, (256, 2)).astype(np.float32)
+        # expansion: new = old + 0.1 * (new - foe) => old = new - 0.1 (new - foe)
+        pts_old = pts_new - 0.1 * (pts_new - foe)
+        est = np.asarray(get_foe_sparse(jnp.asarray(pts_old),
+                                        jnp.asarray(pts_new),
+                                        jnp.ones(256, bool)))
+        np.testing.assert_allclose(est, foe, atol=2.0)
+
+    def test_sparse_foe_no_valid_tracks(self):
+        from mav_detection_tpu.ops.geometry import get_foe_sparse
+
+        pts = jnp.zeros((32, 2), jnp.float32)
+        est = np.asarray(get_foe_sparse(pts, pts, jnp.zeros(32, bool)))
+        np.testing.assert_array_equal(est, [0.0, 0.0])
+
+
+class TestWarpDiff:
+    def test_warp_diff_static_scene_zero(self):
+        from mav_detection_tpu.ops.geometry.global_motion import warp_diff_method
+
+        flow = jnp.ones((32, 48, 2), jnp.float32)
+        ident = jnp.asarray(np.array([[1.0, 0, 0], [0, 1, 0]], np.float32))
+        diff, mag = warp_diff_method(flow, ident)
+        # identity warp: stable == flow -> diff == 0 everywhere inside
+        assert float(jnp.abs(diff[1:-1, 1:-1]).max()) < 1e-5

@@ -248,3 +248,31 @@ def replenish_features(pool: FeaturePool, img: jax.Array,
     take_fresh = ~pool.valid & fresh.valid
     points = jnp.where(take_fresh[:, None], fresh.points, pool.points)
     return FeaturePool(points=points, valid=pool.valid | take_fresh)
+
+
+@functools.partial(jax.jit, static_argnames=("max_corners", "smooth"))
+def lk_dense_flow(img0: jax.Array, img1: jax.Array, max_corners: int = 2000,
+                  smooth: int = 33) -> jax.Array:
+    """Dense flow from sparse LK tracks (the --flow-source LUCAS_KANADE path).
+
+    Tracked displacements scatter-add into a grid with validity weights; a
+    box window then interpolates (weighted average) so downstream consumers
+    get an (h, w, 2) field. Simple by design — the reference never densifies
+    LK; this exists so the LK source plugs into the same pipeline surface.
+    """
+    h, w = img0.shape[:2]
+    corners = shi_tomasi_corners(img0, max_corners=max_corners,
+                                 quality_level=0.05)
+    tracked = lucas_kanade_track(img0, img1, corners.points)
+    disp = tracked.points - corners.points
+    ok = (corners.valid & tracked.status).astype(jnp.float32)
+
+    xi = jnp.clip(corners.points[:, 0], 0, w - 1).astype(jnp.int32)
+    yi = jnp.clip(corners.points[:, 1], 0, h - 1).astype(jnp.int32)
+    grid_flow = jnp.zeros((h, w, 2), jnp.float32).at[yi, xi].add(disp * ok[:, None])
+    grid_wgt = jnp.zeros((h, w), jnp.float32).at[yi, xi].add(ok)
+
+    box = tuple([1.0] * smooth)
+    num = _sep_correlate(grid_flow, box, box, "edge", "highest")
+    den = _sep_correlate(grid_wgt, box, box, "edge", "highest")
+    return jnp.where(den[..., None] > 1e-6, num / jnp.maximum(den, 1e-6)[..., None], 0.0)

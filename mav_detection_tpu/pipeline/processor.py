@@ -71,6 +71,15 @@ class Processor:
                 for i in indices])
             return np.asarray(farneback_flow_batch(
                 jnp.asarray(prevs), jnp.asarray(currs), self._farneback))
+        if src == FlowSource.LUCAS_KANADE:
+            from mav_detection_tpu.ops.flow.lucas_kanade import lk_dense_flow
+
+            out = []
+            for i in indices:
+                g0 = bgr_to_gray(jnp.asarray(self.dataset.get_frame(i))).astype(jnp.float32)
+                g1 = bgr_to_gray(jnp.asarray(self.dataset.get_frame(i + 1))).astype(jnp.float32)
+                out.append(np.asarray(lk_dense_flow(g0, g1)))
+            return np.stack(out)
         if src == FlowSource.RAFT:
             from mav_detection_tpu.models.raft import raft_flow_batch
 

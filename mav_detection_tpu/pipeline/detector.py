@@ -126,3 +126,33 @@ def detect_frame_batch(flow_uv, gt_flow_uv, omega, dt, segmentation, sky_mask,
     fn = functools.partial(detect_frame_pair, config=config)
     return jax.vmap(fn)(flow_uv, gt_flow_uv, omega, dt, segmentation,
                         sky_mask, depth, gt_foe, keys)
+
+
+class FrameScalars(NamedTuple):
+    """Scalar-only outputs: lets XLA dead-code-eliminate the full-resolution
+    debug arrays when artifacts aren't requested, so only a few hundred bytes
+    leave the device per batch."""
+    foe: jax.Array
+    tpr: jax.Array
+    fpr: jax.Array
+    tpr_fixed: jax.Array
+    fpr_fixed: jax.Array
+    sky_tpr: jax.Array
+    sky_fpr: jax.Array
+    drone_size_pixels: jax.Array
+    drone_flow_pixels: jax.Array
+    center_phi: jax.Array
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def detect_frame_batch_scalars(flow_uv, gt_flow_uv, omega, dt, segmentation,
+                               sky_mask, depth, gt_foe, keys,
+                               config: DetectionStep = DetectionStep()
+                               ) -> FrameScalars:
+    out = detect_frame_batch(flow_uv, gt_flow_uv, omega, dt, segmentation,
+                             sky_mask, depth, gt_foe, keys, config=config)
+    return FrameScalars(
+        foe=out.foe, tpr=out.tpr, fpr=out.fpr, tpr_fixed=out.tpr_fixed,
+        fpr_fixed=out.fpr_fixed, sky_tpr=out.sky_tpr, sky_fpr=out.sky_fpr,
+        drone_size_pixels=out.drone_size_pixels,
+        drone_flow_pixels=out.drone_flow_pixels, center_phi=out.center_phi)

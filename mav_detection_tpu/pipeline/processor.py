@@ -35,7 +35,9 @@ from mav_detection_tpu.ops.image.color import bgr_to_gray
 from mav_detection_tpu.pipeline.detector import (
     DetectionStep,
     detect_frame_batch,
+    detect_frame_batch_scalars,
 )
+from mav_detection_tpu.utils.tracing import Tracer
 
 
 class Processor:
@@ -50,6 +52,13 @@ class Processor:
         self.frame_step_size = 1
         self.is_exiting = False
         self._farneback = FarnebackParams()
+        self.tracer = Tracer()
+        # write per-frame debug images (result/derotated/phi/overlay); JSON
+        # results are always written. Disable for throughput runs.
+        self.save_images = True
+        # upload GT flow for the drone_flow_pixels diagnostic; disable to
+        # save host->device bandwidth when the diagnostic isn't needed
+        self.use_gt_flow = True
 
     # ------------------------------------------------------------ helpers
     def _flow_batch(self, indices: List[int]) -> np.ndarray:
@@ -63,14 +72,18 @@ class Processor:
             getter = ds.get_flow_uv if src == FlowSource.PRECOMPUTED else ds.get_gt_of
             return np.stack([np.asarray(getter(i), np.float32) for i in indices])
         if src == FlowSource.FARNEBACK:
-            prevs = np.stack([
-                np.asarray(bgr_to_gray(jnp.asarray(ds.get_frame(i))))
-                for i in indices])
-            currs = np.stack([
-                np.asarray(bgr_to_gray(jnp.asarray(ds.get_frame(i + 1))))
-                for i in indices])
-            return np.asarray(farneback_flow_batch(
-                jnp.asarray(prevs), jnp.asarray(currs), self._farneback))
+            def gray(img):
+                # host-side BT.601, kept uint8: 4x less host->device traffic
+                x = np.asarray(img, np.float32)
+                g = 0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]
+                return np.round(g).astype(np.uint8)
+
+            prevs = np.stack([gray(ds.get_frame(i)) for i in indices])
+            currs = np.stack([gray(ds.get_frame(i + 1)) for i in indices])
+            # returns a DEVICE array: the caller feeds it straight into the
+            # fused detection step without a host round trip
+            return farneback_flow_batch(
+                jnp.asarray(prevs), jnp.asarray(currs), self._farneback)
         if src == FlowSource.LUCAS_KANADE:
             from mav_detection_tpu.ops.flow.lucas_kanade import lk_dense_flow
 
@@ -185,11 +198,16 @@ class Processor:
             idx = list(range(b0, min(b0 + self.batch_size, n_pairs)))
             nb = len(idx)
 
-            flow = self._flow_batch(idx)
-            gt_flow = np.stack([
-                np.asarray(ds.get_gt_of(i), np.float32)
-                if ds.get_gt_of(i) is not None else np.zeros((h, w, 2), np.float32)
-                for i in idx])
+            with self.tracer.stage("flow"):
+                flow = self._flow_batch(idx)
+            gts = [ds.get_gt_of(i) if self.use_gt_flow else None for i in idx]
+            if any(g is not None for g in gts):
+                gt_flow = jnp.asarray(np.stack([
+                    np.asarray(g, np.float32) if g is not None
+                    else np.zeros((h, w, 2), np.float32) for g in gts]))
+            else:
+                # device-created zeros: no host->device transfer at all
+                gt_flow = jnp.zeros((nb, h, w, 2), jnp.float32)
             omegas = np.stack([
                 np.asarray(ds.get_angular_difference(i, i + 1), np.float64)
                 / max(ds.get_delta_time(i + 1), 1e-9)
@@ -209,14 +227,19 @@ class Processor:
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, nb)
 
-            out = detect_frame_batch(
-                jnp.asarray(flow), jnp.asarray(gt_flow), jnp.asarray(omegas),
-                jnp.asarray(dts), jnp.asarray(segs), jnp.asarray(skys),
-                jnp.asarray(depths), jnp.asarray(gt_foes), keys,
-                DetectionStep())
+            detect_fn = (detect_frame_batch if (out_dirs and self.save_images)
+                         else detect_frame_batch_scalars)
+            with self.tracer.stage("stage+detect"):
+                out = detect_fn(
+                    jnp.asarray(flow), gt_flow, jnp.asarray(omegas),
+                    jnp.asarray(dts), jnp.asarray(segs), jnp.asarray(skys),
+                    jnp.asarray(depths), jnp.asarray(gt_foes), keys,
+                    DetectionStep())
 
             # host materialization of the whole batch at once
-            foe = np.asarray(out.foe)
+            save_images = bool(out_dirs) and self.save_images
+            with self.tracer.stage("materialize"):
+                foe = np.asarray(out.foe)
             tpr = np.asarray(out.tpr)
             fpr = np.asarray(out.fpr)
             tprf = np.asarray(out.tpr_fixed)
@@ -226,10 +249,13 @@ class Processor:
             dsz = np.asarray(out.drone_size_pixels)
             dfl = np.asarray(out.drone_flow_pixels)
             cphi = np.asarray(out.center_phi)
-            fixed_masks = np.asarray(out.estimate_fixed)
-            phi_maps = np.asarray(out.phi)
-            derot = np.asarray(out.flow_derotated)
+            if save_images:
+                fixed_masks = np.asarray(out.estimate_fixed)
+                phi_maps = np.asarray(out.phi)
+                derot = np.asarray(out.flow_derotated)
 
+            artifact_stage = self.tracer.stage("artifacts")
+            artifact_stage.__enter__()
             for j, i in enumerate(idx):
                 fr = FrameResult(
                     time=float(ds.get_time(i)),
@@ -248,6 +274,7 @@ class Processor:
                     with open(os.path.join(out_dirs["results"],
                                            f"image_{i:05d}.json"), "w") as f:
                         f.write(fr.to_json())
+                if save_images:
                     imwrite(os.path.join(out_dirs["result_imgs"],
                                          f"image_{i:05d}.png"),
                             to_rgb(255.0 * fixed_masks[j]))
@@ -267,6 +294,7 @@ class Processor:
                                          f"image_{i:05d}.png"),
                             np.clip(vis, 0, 255).astype(np.uint8))
 
+            artifact_stage.__exit__(None, None, None)
             done = min(b0 + self.batch_size, n_pairs)
             if done % max(n_pairs // 10, 1) < self.batch_size:
                 self.logger.info(
@@ -276,6 +304,7 @@ class Processor:
         if out_dirs:
             self._encode_video(out_dirs["processed"],
                                os.path.join(ds.seq_path, "processed.mp4"))
+        self.logger.info("stage timing:\n" + self.tracer.summary())
         return self.detection_results
 
     def _encode_video(self, img_dir: str, out_path: str, fps: int = 30) -> None:

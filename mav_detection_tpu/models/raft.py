@@ -38,6 +38,9 @@ class RAFTConfig:
     corr_radius: int = 4
     iters: int = 12
     dtype: Any = jnp.bfloat16
+    # False = memory-light lookup (recompute window dot products from pooled
+    # features each iteration; no (h*w)^2 volume). Required above ~512p.
+    materialize_corr: bool = True
 
 
 class ResidualBlock(nn.Module):
@@ -134,6 +137,61 @@ def lookup_corr(pyramid: Sequence[jax.Array], flow: jax.Array,
     return jnp.stack(outs, axis=-1)
 
 
+def build_feature_pyramid(f2: jax.Array, levels: int) -> Sequence[jax.Array]:
+    """Average-pooled feature maps. Because avg-pooling the correlation
+    volume over target positions equals correlating against avg-pooled
+    features (dot(f1, avgpool(f2)) == avgpool_target(dot(f1, f2))), this
+    pyramid supports an exact, memory-light correlation lookup."""
+    pyr = [f2.astype(jnp.float32)]
+    for _ in range(levels - 1):
+        pyr.append(nn.avg_pool(pyr[-1][None], (2, 2), strides=(2, 2))[0])
+    return pyr
+
+
+def _bilinear_features(fmap: jax.Array, cx: jax.Array, cy: jax.Array) -> jax.Array:
+    """Sample (th, tw, c) features at float coords -> (h, w, c)."""
+    th, tw = fmap.shape[:2]
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = cx - x0
+    fy = cy - y0
+    x0i = jnp.clip(x0, 0, tw - 1).astype(jnp.int32)
+    y0i = jnp.clip(y0, 0, th - 1).astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, tw - 1)
+    y1i = jnp.minimum(y0i + 1, th - 1)
+    return (((1 - fx) * (1 - fy))[..., None] * fmap[y0i, x0i]
+            + (fx * (1 - fy))[..., None] * fmap[y0i, x1i]
+            + ((1 - fx) * fy)[..., None] * fmap[y1i, x0i]
+            + (fx * fy)[..., None] * fmap[y1i, x1i])
+
+
+def lookup_corr_otf(f1: jax.Array, f2_pyramid: Sequence[jax.Array],
+                    flow: jax.Array, radius: int) -> jax.Array:
+    """On-the-fly correlation lookup: recompute window dot products from
+    pooled features each iteration instead of materializing the
+    (h*w)^2 volume (829 MB at 720p). Mathematically identical to
+    ``lookup_corr`` over ``build_corr_pyramid`` up to bilinear ordering:
+    here features interpolate before the dot product, which matches RAFT's
+    "alternate" (memory-efficient) implementation."""
+    h, w, c = f1.shape
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    f1f = f1.astype(jnp.float32)
+    scale_dot = 1.0 / jnp.sqrt(jnp.float32(c))
+    outs = []
+    for lvl, f2l in enumerate(f2_pyramid):
+        s = 2.0 ** lvl
+        cx = (xs + flow[..., 0]) / s
+        cy = (ys + flow[..., 1]) / s
+        for dy in range(-radius, radius + 1):
+            for dx in range(-radius, radius + 1):
+                sampled = _bilinear_features(
+                    f2l, jnp.clip(cx + dx, 0, f2l.shape[1] - 1),
+                    jnp.clip(cy + dy, 0, f2l.shape[0] - 1))
+                outs.append(jnp.sum(f1f * sampled, axis=-1) * scale_dot)
+    return jnp.stack(outs, axis=-1)
+
+
 class ConvGRU(nn.Module):
     hidden_dim: int
     dtype: Any = jnp.bfloat16
@@ -209,8 +267,11 @@ class RAFT(nn.Module):
         hidden = nn.tanh(cnet[..., :cfg.hidden_dim])
         context = nn.relu(cnet[..., cfg.hidden_dim:])
 
-        corr = all_pairs_correlation(f1, f2)
-        pyramid = build_corr_pyramid(corr, cfg.corr_levels)
+        if cfg.materialize_corr:
+            corr = all_pairs_correlation(f1, f2)
+            pyramid = build_corr_pyramid(corr, cfg.corr_levels)
+        else:
+            feat_pyramid = build_feature_pyramid(f2, cfg.corr_levels)
 
         h8, w8 = f1.shape[0], f1.shape[1]
         flow = jnp.zeros((h8, w8, 2), jnp.float32)
@@ -219,7 +280,11 @@ class RAFT(nn.Module):
         predictions = []
         up_flow = None
         for _ in range(iters):
-            corr_feat = lookup_corr(pyramid, flow, cfg.corr_radius)
+            if cfg.materialize_corr:
+                corr_feat = lookup_corr(pyramid, flow, cfg.corr_radius)
+            else:
+                corr_feat = lookup_corr_otf(f1, feat_pyramid, flow,
+                                            cfg.corr_radius)
             hidden, dflow, mask = update(hidden, context, corr_feat, flow)
             flow = flow + dflow
             up_flow = convex_upsample(flow, mask)

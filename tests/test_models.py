@@ -178,3 +178,62 @@ class TestCheckpoint:
         from mav_detection_tpu.models import checkpoint
 
         assert checkpoint.load_if_exists(str(tmp_path / "nope")) is None
+
+
+class TestMemoryLightCorr:
+    def test_otf_matches_materialized_at_zero_flow(self):
+        """At integer (zero) flow the two lookup paths are mathematically
+        identical (no interpolation-order difference)."""
+        import jax.numpy as jnp
+
+        from mav_detection_tpu.models.raft import (
+            all_pairs_correlation,
+            build_corr_pyramid,
+            build_feature_pyramid,
+            lookup_corr,
+            lookup_corr_otf,
+        )
+
+        rng = np.random.default_rng(0)
+        f1 = jnp.asarray(rng.random((8, 12, 16)).astype(np.float32))
+        f2 = jnp.asarray(rng.random((8, 12, 16)).astype(np.float32))
+        flow = jnp.zeros((8, 12, 2), jnp.float32)
+        mat = lookup_corr(build_corr_pyramid(all_pairs_correlation(f1, f2), 2),
+                          flow, radius=2)
+        otf = lookup_corr_otf(f1, build_feature_pyramid(f2, 2), flow, radius=2)
+        np.testing.assert_allclose(np.asarray(mat), np.asarray(otf),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_otf_close_at_fractional_flow(self):
+        import jax.numpy as jnp
+
+        from mav_detection_tpu.models.raft import (
+            all_pairs_correlation,
+            build_corr_pyramid,
+            build_feature_pyramid,
+            lookup_corr,
+            lookup_corr_otf,
+        )
+
+        rng = np.random.default_rng(1)
+        f1 = jnp.asarray(rng.random((8, 12, 16)).astype(np.float32))
+        f2 = jnp.asarray(rng.random((8, 12, 16)).astype(np.float32))
+        flow = jnp.asarray(rng.normal(scale=0.8, size=(8, 12, 2)).astype(np.float32))
+        mat = lookup_corr(build_corr_pyramid(all_pairs_correlation(f1, f2), 2),
+                          flow, radius=2)
+        otf = lookup_corr_otf(f1, build_feature_pyramid(f2, 2), flow, radius=2)
+        # interpolation orders differ; values stay close on smooth features
+        diff = np.abs(np.asarray(mat) - np.asarray(otf))
+        assert np.median(diff) < 0.1
+
+    def test_full_model_memory_light_mode(self):
+        from mav_detection_tpu.models.raft import RAFT, RAFTConfig, create_raft
+
+        cfg = RAFTConfig(feature_dim=32, hidden_dim=32, context_dim=32,
+                         corr_levels=2, corr_radius=2, iters=2,
+                         materialize_corr=False)
+        model, params = create_raft(config=cfg, image_hw=(32, 48))
+        img = jnp.zeros((32, 48, 3), jnp.float32)
+        flow, _ = jax.jit(lambda p, a, b: RAFT(cfg).apply(p, a, b, 2))(params, img, img)
+        assert flow.shape == (32, 48, 2)
+        assert np.isfinite(np.asarray(flow)).all()

@@ -99,7 +99,7 @@ def tpu_ms_per_frame(prev8, curr8) -> float:
     from mav_detection_tpu.ops.flow import FarnebackParams, farneback_flow
     from mav_detection_tpu.pipeline.detector import DetectionStep, detect_frame_pair
 
-    params = FarnebackParams(warp="separable")
+    params = FarnebackParams(warp="separable", fast=True)
     config = DetectionStep()
     h, w = prev8.shape
 
@@ -149,7 +149,7 @@ def epe_check(prev8, curr8) -> float:
 
     ref = cv2.calcOpticalFlowFarneback(prev8, curr8, None, 0.4, 1, 12, 10, 8, 1.2, 0)
     ours = np.asarray(farneback_flow(jnp.asarray(prev8), jnp.asarray(curr8),
-                                     FarnebackParams(warp="separable")))
+                                     FarnebackParams(warp="separable", fast=True)))
     return float(np.linalg.norm(ours - ref, axis=-1).mean())
 
 
@@ -163,7 +163,7 @@ def main() -> None:
     baseline_fps = 1e3 / baseline_ms if baseline_ms == baseline_ms else float("nan")
     vs = fps / baseline_fps if baseline_fps == baseline_fps else float("nan")
     print(json.dumps({
-        "metric": "flow+detect throughput @752x480 (Farneback separable-warp, EPE_vs_cv2=%.4fpx)" % epe,
+        "metric": "flow+detect throughput @752x480 (Farneback separable-warp fast, EPE_vs_cv2=%.4fpx)" % epe,
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs, 2),

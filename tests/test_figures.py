@@ -102,3 +102,52 @@ class TestTools:
         # focal = 500 px, angular rate 0.1 rad/s -> 50/30 px/frame
         v = expected_pixel_flow(10.0, 100.0, 90.0, 1000, 30.0)
         assert v == pytest.approx(500 * 0.1 / 30.0, rel=1e-6)
+
+
+class TestValidatorClient:
+    def test_parse_frames_box_strings(self):
+        from mav_detection_tpu.eval.validator import Validator
+
+        frames = {"0": ["drone 0.9 10 20 30 40", "bird 0.4 1 2 3 4"], "3": []}
+        parsed = Validator.parse_frames(frames)
+        assert set(parsed.keys()) == {0, 3}
+        name, conf, rect = parsed[0][0]
+        assert name == "drone" and conf == 0.9
+        assert rect.get_topleft() == (10.0, 20.0)
+        assert rect.size == (30.0, 40.0)
+        assert parsed[3] == []
+
+    def test_hash_cache_roundtrip(self, tmp_path):
+        from mav_detection_tpu.core.config import RunConfig
+        from mav_detection_tpu.eval.validator import Validator
+
+        v = Validator(RunConfig(dataset="synthetic"))
+        f = tmp_path / "video.bin"
+        f.write_bytes(b"some video bytes")
+        digest = v.get_hash(str(f))
+        assert len(digest) == 40  # sha1 hex
+        cache, path = v.check_cache(digest, str(tmp_path / "boxes"))
+        assert cache is None
+        import json
+
+        with open(path, "w") as fh:
+            json.dump({"0": ["drone 0.9 1 2 3 4"]}, fh)
+        cache2, _ = v.check_cache(digest, str(tmp_path / "boxes"))
+        assert cache2 == {"0": ["drone 0.9 1 2 3 4"]}
+
+
+class TestRunAllSweep:
+    def test_run_all_over_synthetic_sequences(self, tmp_path, monkeypatch):
+        import argparse
+
+        from mav_detection_tpu.cli.main import run_all, get_logger
+
+        monkeypatch.chdir(tmp_path)
+        monkeypatch.setenv("SYNTHETIC_PATH", str(tmp_path / "data"))
+        (tmp_path / "settings.json").write_text(
+            '{"validation_sequences": ["synthetic/sweep-a"],'
+            ' "train_sequences": [], "yolo_train_weights": {}}')
+        args = argparse.Namespace(dataset="synthetic", headless=True,
+                                  flow_source="GROUND_TRUTH", batch_size=4)
+        run_all(get_logger(False), args)
+        assert (tmp_path / "data" / "synthetic" / "sweep-a" / "results").exists()

@@ -1,0 +1,324 @@
+"""Training driver for the three learned models (RAFT / sky UNet / TinyYOLO).
+
+Replaces the reference's externally-trained sidecar weights (FlowNet2 docker,
+HRNet docker, YOLOv4 server run-ids — ``/root/reference/src/datasets/
+dataset.py:107-123``, ``validator.py:61-93``) with an in-repo, reproducible
+recipe: scenes are synthesized ON DEVICE (``data/synthgen``) and the training
+loop runs as a ``lax.scan`` over steps inside one jit — the host only
+dispatches chunk calls and reads back loss curves, so the slow development
+tunnel costs one round-trip per chunk instead of per step.
+
+Usage::
+
+    python -m mav_detection_tpu.cli.train --model all
+    python -m mav_detection_tpu.cli.train --model raft --steps 4000
+    python -m mav_detection_tpu.cli.train --model raft --eval-only
+
+Checkpoints land in ``checkpoints/<name>.msgpack`` (see models/pretrained).
+Held-out evaluation runs against the HOST fixture (``data/synthetic``), i.e.
+a distribution the on-device generator mirrors but does not share RNG or
+rendering code with.
+"""
+from __future__ import annotations
+
+import argparse
+import functools
+import logging
+import time
+from typing import Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+logger = logging.getLogger("mav_detection_tpu.train")
+
+
+def _gray3(img: jax.Array) -> jax.Array:
+    """(B, h, w) grayscale -> (B, h, w, 3) like the fixture's RGB frames."""
+    return jnp.repeat(img[..., None], 3, axis=-1)
+
+
+def _scan_chunks(run_chunk, params, opt_state, key, steps: int,
+                 chunk: int, label: str):
+    """Drive jitted scan-chunks, logging loss once per chunk."""
+    t0 = time.time()
+    all_losses = []
+    done = 0
+    while done < steps:
+        n = min(chunk, steps - done)
+        params, opt_state, key, losses = run_chunk(params, opt_state, key, n)
+        losses = np.asarray(losses)
+        all_losses.append(losses)
+        done += n
+        logger.info(
+            f"[{label}] step {done}/{steps} loss {losses[-10:].mean():.4f} "
+            f"({done / max(time.time() - t0, 1e-9):.1f} steps/s)")
+    return params, np.concatenate(all_losses) if all_losses else np.zeros(0)
+
+
+# ------------------------------------------------------------------- RAFT
+def train_raft(steps: int = 4000, batch: int = 8,
+               hw: Tuple[int, int] = (128, 160), iters: int = 8,
+               peak_lr: float = 2.5e-4, chunk: int = 100, seed: int = 0):
+    import optax
+
+    from mav_detection_tpu.data.synthgen import generate_scene
+    from mav_detection_tpu.models.raft import RAFTConfig, create_raft, raft_loss
+
+    h, w = hw
+    config = RAFTConfig()
+    model, params = create_raft(jax.random.PRNGKey(seed), config, image_hw=hw)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, peak_lr, warmup_steps=min(200, steps // 10 + 1),
+        decay_steps=steps)
+    opt = optax.chain(optax.clip_by_global_norm(1.0),
+                      optax.adamw(sched, weight_decay=1e-5))
+    opt_state = opt.init(params)
+
+    def loss_fn(params, scenes):
+        img1 = _gray3(scenes.img1)
+        img2 = _gray3(scenes.img2)
+        per = jax.vmap(
+            lambda a, b, f: raft_loss(params, model, a, b, f, iters=iters))
+        return jnp.mean(per(img1, img2, scenes.flow))
+
+    @functools.partial(jax.jit, static_argnames=("nsteps",))
+    def run_chunk(params, opt_state, key, nsteps):
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            scenes = jax.vmap(lambda k: generate_scene(k, h, w))(
+                jax.random.split(sub, batch))
+            loss, grads = jax.value_and_grad(loss_fn)(params, scenes)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), None, length=nsteps)
+        return params, opt_state, key, losses
+
+    params, losses = _scan_chunks(run_chunk, params, opt_state,
+                                  jax.random.PRNGKey(seed + 1), steps, chunk,
+                                  "raft")
+    return params, losses
+
+
+def eval_raft(params, n_pairs: int = 12, iters: int = 12) -> float:
+    """EPE on the held-out host fixture (240x320 forward-flight sequence)."""
+    from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
+    from mav_detection_tpu.models.raft import raft_flow
+
+    ds = SyntheticDataset(params=SyntheticParams(seed=777, n_frames=n_pairs + 1,
+                                                 foe=(150.0, 130.0),
+                                                 expansion=0.015,
+                                                 drone_start=(220.0, 80.0),
+                                                 drone_velocity=(-3.5, 2.0)))
+    epes = []
+    for i in range(n_pairs):
+        img1 = jnp.asarray(ds.get_frame(i))
+        img2 = jnp.asarray(ds.get_frame(i + 1))
+        flow = np.asarray(raft_flow(params, img1, img2, iters=iters))
+        gt = ds.flows[i]
+        epes.append(float(np.linalg.norm(flow - gt, axis=-1).mean()))
+    return float(np.mean(epes))
+
+
+# -------------------------------------------------------------------- sky
+def train_sky(steps: int = 1500, batch: int = 8,
+              hw: Tuple[int, int] = (128, 160), peak_lr: float = 1e-3,
+              chunk: int = 100, seed: int = 0):
+    import optax
+
+    from mav_detection_tpu.data.synthgen import generate_scene
+    from mav_detection_tpu.models.sky_segmentation import (
+        create_sky_model, sky_loss)
+
+    h, w = hw
+    model, params = create_sky_model(jax.random.PRNGKey(seed), image_hw=hw)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, peak_lr, warmup_steps=min(100, steps // 10 + 1), decay_steps=steps)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    opt_state = opt.init(params)
+
+    def loss_fn(params, scenes):
+        per = jax.vmap(lambda im, gt: sky_loss(params, model, im, gt))
+        return jnp.mean(per(_gray3(scenes.img1), scenes.sky))
+
+    @functools.partial(jax.jit, static_argnames=("nsteps",))
+    def run_chunk(params, opt_state, key, nsteps):
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            scenes = jax.vmap(lambda k: generate_scene(k, h, w))(
+                jax.random.split(sub, batch))
+            loss, grads = jax.value_and_grad(loss_fn)(params, scenes)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), None, length=nsteps)
+        return params, opt_state, key, losses
+
+    params, losses = _scan_chunks(run_chunk, params, opt_state,
+                                  jax.random.PRNGKey(seed + 1), steps, chunk,
+                                  "sky")
+    return params, losses
+
+
+def eval_sky(params, n_frames: int = 12) -> Tuple[float, float, float, float]:
+    """(net TPR, net FPR, precomputed-mask TPR, precomputed-mask FPR) vs the
+    depth-band ground truth on the held-out host fixture."""
+    from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
+    from mav_detection_tpu.models.sky_segmentation import sky_mask
+
+    ds = SyntheticDataset(params=SyntheticParams(seed=778, n_frames=n_frames,
+                                                 horizon=0.4))
+    gt = ds.sky_gt
+    stats = np.zeros(4)
+    for i in range(n_frames):
+        est = np.asarray(sky_mask(params, jnp.asarray(ds.get_frame(i))))
+        pre = np.asarray(ds.get_sky_segmentation(i))
+        stats += [
+            (est & gt).sum() / max(gt.sum(), 1),
+            (est & ~gt).sum() / max((~gt).sum(), 1),
+            (pre & gt).sum() / max(gt.sum(), 1),
+            (pre & ~gt).sum() / max((~gt).sum(), 1),
+        ]
+    return tuple(stats / n_frames)  # type: ignore[return-value]
+
+
+# ------------------------------------------------------------------- yolo
+def train_yolo(steps: int = 2500, batch: int = 8,
+               hw: Tuple[int, int] = (128, 160), peak_lr: float = 1e-3,
+               chunk: int = 100, seed: int = 0):
+    import optax
+
+    from mav_detection_tpu.data.synthgen import generate_scene
+    from mav_detection_tpu.models.yolo import create_yolo, yolo_loss
+
+    h, w = hw
+    model, params = create_yolo(jax.random.PRNGKey(seed), image_hw=hw)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, peak_lr, warmup_steps=min(100, steps // 10 + 1), decay_steps=steps)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
+    opt_state = opt.init(params)
+
+    def loss_fn(params, scenes):
+        per = jax.vmap(lambda im, box: yolo_loss(params, model, im, box))
+        return jnp.mean(per(_gray3(scenes.img1), scenes.box))
+
+    @functools.partial(jax.jit, static_argnames=("nsteps",))
+    def run_chunk(params, opt_state, key, nsteps):
+        def body(carry, _):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            scenes = jax.vmap(lambda k: generate_scene(k, h, w))(
+                jax.random.split(sub, batch))
+            loss, grads = jax.value_and_grad(loss_fn)(params, scenes)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), None, length=nsteps)
+        return params, opt_state, key, losses
+
+    params, losses = _scan_chunks(run_chunk, params, opt_state,
+                                  jax.random.PRNGKey(seed + 1), steps, chunk,
+                                  "yolo")
+    return params, losses
+
+
+def eval_yolo(params, n_frames: int = 12,
+              score_threshold: float = 0.5) -> Tuple[float, float]:
+    """(mean IoU of the best box vs annotation, detection rate) on the
+    held-out host fixture."""
+    from mav_detection_tpu.core.rectangle import Rectangle
+    from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
+    from mav_detection_tpu.models.yolo import detect_boxes
+
+    ds = SyntheticDataset(params=SyntheticParams(seed=779, n_frames=n_frames,
+                                                 drone_radius=11,
+                                                 drone_start=(240.0, 70.0),
+                                                 drone_velocity=(-4.0, 3.0)))
+    ious = []
+    hits = 0
+    for i in range(n_frames):
+        boxes = detect_boxes(params, jnp.asarray(ds.get_frame(i)),
+                             score_threshold=score_threshold)
+        gt = ds.get_annotation(i)[0]
+        valid = np.asarray(boxes.valid)
+        best = 0.0
+        for j in range(len(valid)):
+            if not valid[j]:
+                continue
+            x, y, bw, bh = np.asarray(boxes.xywh[j])
+            rect = Rectangle((x - bw / 2, y - bh / 2), (bw, bh))
+            best = max(best, Rectangle.calculate_iou(rect, gt))
+        ious.append(best)
+        hits += best > 0.25
+    return float(np.mean(ious)), hits / n_frames
+
+
+# --------------------------------------------------------------------- cli
+def main(argv=None) -> None:
+    from mav_detection_tpu.models import checkpoint, pretrained
+
+    parser = argparse.ArgumentParser(description="train the learned models")
+    parser.add_argument("--model", choices=["raft", "sky", "yolo", "all"],
+                        default="all")
+    parser.add_argument("--steps", type=int, default=0,
+                        help="override the per-model default step count")
+    parser.add_argument("--batch", type=int, default=8)
+    parser.add_argument("--chunk", type=int, default=100)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--eval-only", action="store_true")
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+
+    wanted = ["raft", "sky", "yolo"] if args.model == "all" else [args.model]
+
+    if "raft" in wanted:
+        if args.eval_only:
+            params = pretrained.load_raft_params()
+            assert params is not None, "no RAFT checkpoint"
+        else:
+            params, _ = train_raft(steps=args.steps or 4000, batch=args.batch,
+                                   chunk=args.chunk, seed=args.seed)
+            checkpoint.save_msgpack(pretrained.checkpoint_path("raft"), params)
+        epe = eval_raft(params)
+        logger.info(f"[raft] held-out fixture EPE: {epe:.4f} px (gate < 0.5)")
+
+    if "sky" in wanted:
+        if args.eval_only:
+            params = pretrained.load_sky_params()
+            assert params is not None, "no sky checkpoint"
+        else:
+            params, _ = train_sky(steps=args.steps or 1500, batch=args.batch,
+                                  chunk=args.chunk, seed=args.seed)
+            checkpoint.save_msgpack(pretrained.checkpoint_path("sky"), params)
+        tpr, fpr, ptpr, pfpr = eval_sky(params)
+        logger.info(f"[sky] net TPR {tpr:.4f} FPR {fpr:.4f} | "
+                    f"precomputed TPR {ptpr:.4f} FPR {pfpr:.4f}")
+
+    if "yolo" in wanted:
+        if args.eval_only:
+            params = pretrained.load_yolo_params()
+            assert params is not None, "no yolo checkpoint"
+        else:
+            params, _ = train_yolo(steps=args.steps or 2500, batch=args.batch,
+                                   chunk=args.chunk, seed=args.seed)
+            checkpoint.save_msgpack(pretrained.checkpoint_path("yolo"), params)
+        iou, rate = eval_yolo(params)
+        logger.info(f"[yolo] held-out mean IoU {iou:.3f}, "
+                    f"detection rate {rate:.2f}")
+
+
+if __name__ == "__main__":
+    main()

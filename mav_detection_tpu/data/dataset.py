@@ -183,10 +183,22 @@ class Dataset:
 
     def get_sky_segmentation(self, i: int) -> np.ndarray:
         """HRNet-layout sky mask: prediction PNG where sky = (180, 130, *) RGB
-        (reference ``dataset.py:152-158``); falls back to all-false."""
+        (reference ``dataset.py:152-158``). When no precomputed mask exists,
+        the on-device SkyUNet runs instead of the reference's HRNet docker
+        sidecar (``dataset.py:107-114``) — the prediction is written back as
+        an HRNet-layout PNG so reruns hit the artifact cache. Falls back to
+        all-false without a trained checkpoint."""
         path = f"{self.hrnet_out}/image_{i:05d}_prediction.png"
         if not os.path.exists(path):
-            return np.zeros(self.capture_shape[:2], bool)
+            mask = self._infer_sky_segmentation(i)
+            if mask is None:
+                return np.zeros(self.capture_shape[:2], bool)
+            if self.hrnet_out:
+                create_if_not_exists(self.hrnet_out)
+                vis = np.zeros(mask.shape + (3,), np.uint8)
+                vis[mask] = (0, 130, 180)  # BGR for imwrite -> RGB (180,130,0)
+                imwrite(path, vis)
+            return mask
         img = imread(path)
         w, h = self.capture_size
         try:
@@ -197,6 +209,22 @@ class Dataset:
             pass
         # imread returns BGR; HRNet sky color is RGB (180, 130, ...)
         return (img[..., 2] == 180) & (img[..., 1] == 130)
+
+    def _infer_sky_segmentation(self, i: int) -> Optional[np.ndarray]:
+        """On-device SkyUNet inference (None without a trained checkpoint)."""
+        from mav_detection_tpu.models import pretrained
+
+        params = pretrained.load_sky_params()
+        if params is None:
+            return None
+        import jax.numpy as jnp
+
+        from mav_detection_tpu.models.sky_segmentation import sky_mask
+
+        frame = self.get_frame(i)
+        if frame is None:
+            return None
+        return np.asarray(sky_mask(params, jnp.asarray(frame)))
 
     def validate_sky_segment(self, sky_mask: np.ndarray,
                              depth: np.ndarray) -> Tuple[float, float]:

@@ -116,6 +116,18 @@ class SyntheticDataset(Dataset):
         base = np.apply_along_axis(lambda m: np.convolve(m, kernel, "same"), 1, base)
         base = (base - base.min()) / max(float(np.ptp(base)), 1e-6) * 220 + 20
 
+        # sky texture: brighter and smoother than the ground (real skies are),
+        # giving the sky-segmentation model an actual visual signal — the
+        # depth-band ground truth below stays unchanged
+        sky_sigma = 4.0
+        k2 = int(sky_sigma * 4) | 1
+        kern2 = np.exp(-0.5 * ((np.arange(k2) - k2 // 2) / sky_sigma) ** 2)
+        kern2 /= kern2.sum()
+        sky_base = rng.random((bh, bw)).astype(np.float32)
+        sky_base = np.apply_along_axis(lambda m: np.convolve(m, kern2, "same"), 0, sky_base)
+        sky_base = np.apply_along_axis(lambda m: np.convolve(m, kern2, "same"), 1, sky_base)
+        sky_base = (sky_base - sky_base.min()) / max(float(np.ptp(sky_base)), 1e-6) * 95 + 150
+
         xs = np.tile(np.arange(w, dtype=np.float64), (h, 1))
         ys = np.tile(np.arange(h, dtype=np.float64)[:, None], (1, w))
         grid = np.stack([xs, ys], axis=-1)
@@ -144,10 +156,15 @@ class SyntheticDataset(Dataset):
         sky_base[max(horizon_y - 2, 0):horizon_y] = rng.random((min(2, horizon_y), w)) > 0.5
         self.sky_est = np.zeros((p.n_frames, h, w), bool)
 
+        sky_rows = ys < horizon_y
         for i in range(p.n_frames):
-            # render frame i from the base texture via the cumulative map
-            gray = map_coordinates(base, [phi[..., 1], phi[..., 0]], order=1,
-                                   mode="nearest").astype(np.float32)
+            # render frame i from the textures via the cumulative map;
+            # sky band composited in image space (static depth band)
+            gray_ground = map_coordinates(base, [phi[..., 1], phi[..., 0]],
+                                          order=1, mode="nearest").astype(np.float32)
+            gray_sky = map_coordinates(sky_base, [phi[..., 1], phi[..., 0]],
+                                       order=1, mode="nearest").astype(np.float32)
+            gray = np.where(sky_rows, gray_sky, gray_ground)
             frame = np.repeat(gray[..., None], 3, axis=-1)
 
             # intruder disc with its own texture

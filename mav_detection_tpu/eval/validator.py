@@ -61,11 +61,109 @@ class Validator:
     # ----------------------------------------------------------- loading
     def run_validation(self) -> Dict[str, Any]:
         self.dataset = self.config.get_dataset()
+        nn_stats: Dict[str, Any] = {}
+        if self.config.uses_nn_for_detection():
+            nn_stats = self.run_nn_validation()
         self.load_results()
         stats = self.compute_foe_stats()
         self.plot(stats)
         roc = self.plot_roc()
-        return {**stats, **roc}
+        return {**stats, **roc, **nn_stats}
+
+    # ------------------------------------------------- NN detection modes
+    def run_nn_validation(self) -> Dict[str, Any]:
+        """End-to-end NN detection validation: run the on-device TinyYOLO
+        head (or the remote client when ``YOLO_INFERENCE_HOST`` is set) over
+        the sequence, compute IoU against the ground-truth annotations, and
+        emit ``ious.png`` + summary stats (reference
+        ``validator.py:95-118,154-161``)."""
+        if os.environ.get("YOLO_INFERENCE_HOST"):
+            video = os.path.join(self.dataset.seq_path, "video.mp4")
+            raw = self.get_inference(video, video.replace(".mp4", "-out.mp4"))
+        else:
+            raw = self.run_local_inference(self.dataset)
+        detections = self.parse_frames(raw)
+
+        ious: List[float] = []
+        for i in range(self.dataset.N):
+            gts = self.dataset.get_annotation(i)
+            if not gts:
+                continue
+            best = 0.0
+            for _, _, rect in detections.get(i, []):
+                for gt in gts:
+                    best = max(best, Rectangle.calculate_iou(rect, gt))
+            ious.append(best)
+        iou_arr = np.asarray(ious)
+        detected = iou_arr > 0.25
+
+        if self.dataset.seq_path and iou_arr.size:
+            plt = self._plt()
+            plt.figure()
+            plt.grid()
+            plt.hist(iou_arr, np.linspace(0, 1, 21))
+            plt.xlabel("IoU")
+            plt.ylabel("Frequency [frames]")
+            plt.savefig(f"{self.dataset.seq_path}/ious.png", bbox_inches="tight")
+            plt.close()
+        if iou_arr.size:
+            print(f"IoU mean: {iou_arr.mean():.3f}, std: {iou_arr.std():.3f}, "
+                  f"detection rate (IoU>0.25): {detected.mean():.3f}")
+        return {
+            "iou_mean": float(iou_arr.mean()) if iou_arr.size else None,
+            "iou_std": float(iou_arr.std()) if iou_arr.size else None,
+            "detection_rate": float(detected.mean()) if iou_arr.size else None,
+        }
+
+    def run_local_inference(self, dataset,
+                            score_threshold: float = 0.5) -> Dict[str, List[str]]:
+        """On-device TinyYOLO over every frame, returning the remote client's
+        box-string protocol (``"name conf x y w h"`` with top-left pixel
+        coords — ``validator.py:95-118``). Results are content-cached under
+        ``bounding-boxes/`` keyed by the checkpoint + sequence, preserving the
+        reference's skip-if-exists idiom."""
+        import jax.numpy as jnp
+
+        from mav_detection_tpu.models import pretrained
+        from mav_detection_tpu.models.yolo import detect_boxes
+
+        params = pretrained.load_yolo_params()
+        if params is None:
+            raise RuntimeError(
+                "no TinyYOLO checkpoint found — train one with "
+                "`python -m mav_detection_tpu.cli.train --model yolo` or set "
+                "YOLO_INFERENCE_HOST for remote inference")
+
+        cache_dir = os.path.join(dataset.seq_path or ".", "bounding-boxes")
+        ckpt = pretrained.checkpoint_path("yolo")
+        digest = (self.get_hash(ckpt) if os.path.exists(ckpt) else "live")
+        digest += f"-{dataset.N}"
+        cache, json_path = self.check_cache(digest, cache_dir)
+        if cache is not None:
+            return cache
+
+        result: Dict[str, List[str]] = {}
+        for i in range(dataset.N):
+            frame = dataset.get_frame(i)
+            if frame is None:
+                break
+            boxes = detect_boxes(params, jnp.asarray(frame),
+                                 score_threshold=score_threshold)
+            valid = np.asarray(boxes.valid)
+            xywh = np.asarray(boxes.xywh)
+            score = np.asarray(boxes.score)
+            strings = []
+            for j in range(len(valid)):
+                if not valid[j]:
+                    continue
+                cx, cy, bw, bh = xywh[j]
+                strings.append(
+                    f"drone {score[j]:.4f} {cx - bw / 2:.2f} {cy - bh / 2:.2f} "
+                    f"{bw:.2f} {bh:.2f}")
+            result[str(i)] = strings
+        with open(json_path, "w") as f:
+            json.dump(result, f)
+        return result
 
     def load_results(self) -> None:
         self.frames = {}

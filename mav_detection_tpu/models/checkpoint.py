@@ -38,3 +38,31 @@ def load_if_exists(path: str, like: Optional[Any] = None) -> Optional[Any]:
     if not os.path.exists(path):
         return None
     return load(path, like)
+
+
+# -------------------------------------------------------------- msgpack tier
+# Single-file artifacts for the shipped pretrained weights: flax msgpack is
+# one committable binary per model (orbax writes a directory tree, awkward to
+# version in git). ``like`` supplies the pytree structure on load.
+def save_msgpack(path: str, params: Any) -> str:
+    from flax import serialization
+
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = serialization.to_bytes(params)
+    with open(path, "wb") as f:
+        f.write(data)
+    return path
+
+
+def load_msgpack(path: str, like: Any) -> Any:
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(like, data)
+
+
+def load_msgpack_if_exists(path: str, like: Any) -> Optional[Any]:
+    if not os.path.exists(path):
+        return None
+    return load_msgpack(path, like)

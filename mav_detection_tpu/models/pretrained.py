@@ -1,0 +1,93 @@
+"""Default pretrained-weight resolution for the three learned models.
+
+The reference consumed externally-hosted weights (FlowNet2/HRNet docker
+images, YOLOv4 run-ids in settings.json — ``/root/reference/src/datasets/
+dataset.py:107-123``, ``validator.py:61-93``); here weights are first-class
+repo artifacts: single msgpack files under ``checkpoints/`` (override the
+root with ``MAV_CHECKPOINT_PATH``), produced by ``python -m
+mav_detection_tpu.cli.train`` and loaded automatically by the flow /
+sky-segmentation / detection paths.
+"""
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Optional
+
+logger = logging.getLogger("mav_detection_tpu")
+
+_CACHE: dict = {}
+
+
+def checkpoint_root() -> str:
+    env = os.environ.get("MAV_CHECKPOINT_PATH")
+    if env:
+        return env
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "checkpoints")
+
+
+def checkpoint_path(name: str) -> str:
+    return os.path.join(checkpoint_root(), f"{name}.msgpack")
+
+
+def has_checkpoint(name: str) -> bool:
+    return os.path.exists(checkpoint_path(name))
+
+
+def load_raft_params(config=None) -> Optional[Any]:
+    """Trained RAFT params, or None when no checkpoint is shipped."""
+    from mav_detection_tpu.models import checkpoint
+    from mav_detection_tpu.models.raft import RAFTConfig, create_raft
+
+    config = config or RAFTConfig()
+    key = ("raft", config)
+    if key in _CACHE:
+        return _CACHE[key]
+    path = checkpoint_path("raft")
+    if not os.path.exists(path):
+        return None
+    # conv-only model: param shapes are independent of image size, so a tiny
+    # init supplies the pytree template cheaply
+    _, like = create_raft(config=config, image_hw=(64, 96))
+    params = checkpoint.load_msgpack(path, like)
+    _CACHE[key] = params
+    logger.info(f"loaded RAFT weights from {path}")
+    return params
+
+
+def load_sky_params() -> Optional[Any]:
+    from mav_detection_tpu.models import checkpoint
+    from mav_detection_tpu.models.sky_segmentation import create_sky_model
+
+    if "sky" in _CACHE:
+        return _CACHE["sky"]
+    path = checkpoint_path("sky")
+    if not os.path.exists(path):
+        return None
+    _, like = create_sky_model(image_hw=(64, 96))
+    params = checkpoint.load_msgpack(path, like)
+    _CACHE["sky"] = params
+    logger.info(f"loaded sky-segmentation weights from {path}")
+    return params
+
+
+def load_yolo_params() -> Optional[Any]:
+    from mav_detection_tpu.models import checkpoint
+    from mav_detection_tpu.models.yolo import create_yolo
+
+    if "yolo" in _CACHE:
+        return _CACHE["yolo"]
+    path = checkpoint_path("yolo")
+    if not os.path.exists(path):
+        return None
+    _, like = create_yolo(image_hw=(64, 96))
+    params = checkpoint.load_msgpack(path, like)
+    _CACHE["yolo"] = params
+    logger.info(f"loaded YOLO weights from {path}")
+    return params
+
+
+def clear_cache() -> None:
+    _CACHE.clear()

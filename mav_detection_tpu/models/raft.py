@@ -247,13 +247,34 @@ def convex_upsample(flow: jax.Array, mask: jax.Array) -> jax.Array:
     return up.transpose(0, 2, 1, 3, 4).reshape(h * 8, w * 8, 2)
 
 
+class _RefineStep(nn.Module):
+    """One GRU refinement iteration, shaped for ``nn.scan``: weights are
+    broadcast across iterations, so XLA compiles the body ONCE instead of
+    unrolling ``iters`` copies (12x smaller program, much faster compiles)."""
+    config: RAFTConfig
+
+    @nn.compact
+    def __call__(self, carry, context, f1, pyramid):
+        hidden, flow = carry
+        cfg = self.config
+        if cfg.materialize_corr:
+            corr_feat = lookup_corr(pyramid, flow, cfg.corr_radius)
+        else:
+            corr_feat = lookup_corr_otf(f1, pyramid, flow, cfg.corr_radius)
+        hidden, dflow, mask = UpdateBlock(cfg, name="update")(
+            hidden, context, corr_feat, flow)
+        flow = flow + dflow
+        return (hidden, flow), (flow, mask)
+
+
 class RAFT(nn.Module):
     config: RAFTConfig = RAFTConfig()
 
     @nn.compact
     def __call__(self, image1: jax.Array, image2: jax.Array,
-                 iters: int = 0) -> Tuple[jax.Array, list]:
-        """(h, w, 3) uint8/float image pair -> (h, w, 2) flow + per-iter list."""
+                 iters: int = 0) -> Tuple[jax.Array, jax.Array]:
+        """(h, w, 3) uint8/float image pair -> ((h, w, 2) flow,
+        (iters, h, w, 2) per-iteration upsampled predictions)."""
         cfg = self.config
         iters = iters or cfg.iters
         x1 = image1.astype(jnp.float32) / 127.5 - 1.0
@@ -269,27 +290,26 @@ class RAFT(nn.Module):
 
         if cfg.materialize_corr:
             corr = all_pairs_correlation(f1, f2)
-            pyramid = build_corr_pyramid(corr, cfg.corr_levels)
+            pyramid = tuple(build_corr_pyramid(corr, cfg.corr_levels))
         else:
-            feat_pyramid = build_feature_pyramid(f2, cfg.corr_levels)
+            pyramid = tuple(build_feature_pyramid(f2, cfg.corr_levels))
 
         h8, w8 = f1.shape[0], f1.shape[1]
         flow = jnp.zeros((h8, w8, 2), jnp.float32)
-        update = UpdateBlock(cfg, name="update")
 
-        predictions = []
-        up_flow = None
-        for _ in range(iters):
-            if cfg.materialize_corr:
-                corr_feat = lookup_corr(pyramid, flow, cfg.corr_radius)
-            else:
-                corr_feat = lookup_corr_otf(f1, feat_pyramid, flow,
-                                            cfg.corr_radius)
-            hidden, dflow, mask = update(hidden, context, corr_feat, flow)
-            flow = flow + dflow
-            up_flow = convex_upsample(flow, mask)
-            predictions.append(up_flow)
-        return up_flow, predictions
+        scan = nn.scan(
+            _RefineStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            out_axes=0,
+            length=iters,
+        )
+        (_, flow), (flows8, masks) = scan(cfg, name="refine")(
+            (hidden, flow), context, f1, pyramid)
+
+        predictions = jax.vmap(convex_upsample)(flows8, masks)
+        return predictions[-1], predictions
 
 
 # --------------------------------------------------------------- interface
@@ -332,10 +352,20 @@ def raft_flow(params, image1: jax.Array, image2: jax.Array,
 
 def raft_flow_batch(images1: jax.Array, images2: jax.Array,
                     params=None, iters: int = 12) -> jax.Array:
-    """Batched inference; initializes fresh params when none are supplied
-    (untrained weights — produces valid-shaped but uninformative flow until a
-    checkpoint is loaded via models.checkpoint)."""
+    """Batched inference. When no params are supplied the shipped pretrained
+    checkpoint (``checkpoints/raft.msgpack``, trained by ``cli.train``) loads
+    automatically; without a checkpoint it falls back to fresh random params
+    (valid-shaped but uninformative flow) with a warning."""
     if params is None:
+        from mav_detection_tpu.models import pretrained
+
+        params = pretrained.load_raft_params()
+    if params is None:
+        import logging
+
+        logging.getLogger("mav_detection_tpu").warning(
+            "no RAFT checkpoint found — using untrained weights; run "
+            "`python -m mav_detection_tpu.cli.train --model raft`")
         key = ("default", images1.shape[1:3])
         if key not in _RAFT_CACHE:
             _, _RAFT_CACHE[key] = create_raft(
@@ -350,12 +380,10 @@ def raft_loss(params, model: RAFT, img1, img2, flow_gt, gamma: float = 0.8,
               iters: int = 12):
     """Sequence L1 loss with exponential weighting (RAFT eq. 7)."""
     _, preds = model.apply(params, img1, img2, iters)
-    n = len(preds)
-    loss = 0.0
-    for i, pred in enumerate(preds):
-        weight = gamma ** (n - i - 1)
-        loss = loss + weight * jnp.mean(jnp.abs(pred - flow_gt))
-    return loss
+    n = preds.shape[0]
+    weights = gamma ** jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
+    per_iter = jnp.mean(jnp.abs(preds - flow_gt[None]), axis=(1, 2, 3))
+    return jnp.sum(weights * per_iter)
 
 
 def make_train_step(model: RAFT, optimizer, iters: int = 12):

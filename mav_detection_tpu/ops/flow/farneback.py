@@ -9,19 +9,23 @@ winsize 12, 10 iterations, poly_n 8, poly_sigma 1.2).
 
 Design notes (TPU-first):
 * Polynomial expansion is two passes of separable 1-D correlations — lowered
-  to ``lax.conv_general_dilated`` so XLA tiles them onto the MXU/VPU and
-  fuses the channel arithmetic.
-* The iterative update is bilinear-gather + elementwise math + a box filter;
-  everything stays in VMEM-sized blocks under one jit, no host round-trips.
-* All shapes static; the iteration count is a Python constant so the whole
-  solver unrolls into one XLA program (10 iterations is small).
-* vmap over a leading batch axis gives multi-frame-pair batching for free.
+  to precomputed banded-matrix matmuls so XLA tiles them onto the MXU
+  (1-channel K-tap convs leave the 128x128 systolic array ~0% utilized).
+* The whole solver carries an internal channel-last ``(h, w, B)`` layout:
+  a batch of B frame pairs folds into the matmul FREE dimension
+  ((H, H) @ (H, W*B*C)), which the MXU tiles as one wide matmul. vmap over
+  a leading batch axis instead produces batched ``dot_general`` ops that
+  tile ~1.7x WORSE (measured, PERF.md "Batching") — hence the explicit
+  layout rather than ``jax.vmap``.
+* The iterative update is warp + elementwise math + a box filter; everything
+  stays on device under one jit, all shapes static, the iteration count a
+  Python constant so the solver unrolls into one XLA program.
 """
 from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import Tuple
+from typing import List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -36,19 +40,23 @@ class FarnebackParams:
     iterations: int = 10
     poly_n: int = 8
     poly_sigma: float = 1.2
-    # "highest" forces fp32 convolution passes (oracle-parity mode, EPE ~0.006
+    # "highest" forces fp32 matmul passes (oracle-parity mode, EPE ~0.006
     # vs OpenCV); "default" lets the MXU run bf16 multiplies (~0.075 EPE,
     # still under the 0.1 px gate) for maximum throughput on TPU.
     precision: str = "highest"
     # fast=True refits the normal-equation matrices on a sparse schedule
-    # ({0,1,2,4,7}) instead of every iteration. The per-pixel warp (a TPU
-    # gather, ~8 ms/call at 752x480) dominates the runtime; halving the refit
-    # count keeps measured EPE vs the oracle at ~0.003 px full-frame.
+    # ({0,1,2,4,7}) instead of every iteration. The per-pixel warp dominates
+    # the runtime; halving the refit count keeps measured EPE vs the oracle
+    # at ~0.003 px full-frame.
     fast: bool = False
-    # warp="separable" replaces the gather-based bilinear warp with two
-    # shifted-sum passes (see _warp_separable): ~4x faster per refit, exact
-    # for displacements <= max_shift up to a negligible cross-term
-    # approximation on smooth flow.
+    # warp selects the refit warp implementation:
+    #   "gather"    — exact bilinear via XLA gather (any displacement).
+    #   "separable" — two shifted-sum passes (see _warp_separable): ~4x
+    #                 faster, exact for |displacement| <= max_shift up to a
+    #                 negligible cross-term approximation on smooth flow.
+    #   "auto"      — separable, with a data-dependent lax.cond fallback to
+    #                 the exact gather whenever the current flow estimate
+    #                 exceeds the separable warp's max_shift coverage.
     warp: str = "gather"
     max_shift: int = 16
 
@@ -152,15 +160,30 @@ def _sep_correlate(img: jax.Array, kern_v: Tuple[float, ...],
     return y[..., 0] if squeeze else y
 
 
-def _correlate1d(img: jax.Array, kernel: Tuple[float, ...], axis: int,
-                 precision: str = "highest") -> jax.Array:
-    """1-D correlation along ``axis`` with replicate padding (banded matmul)."""
+def _sep_correlate_nd(img: jax.Array, kern_v: Tuple[float, ...],
+                      kern_h: Tuple[float, ...], mode: str,
+                      precision: str) -> jax.Array:
+    """_sep_correlate for (h, w, *trailing) — trailing dims fold to channels."""
+    if img.ndim <= 3:
+        return _sep_correlate(img, kern_v, kern_h, mode, precision)
+    h, w = img.shape[0], img.shape[1]
+    trail = img.shape[2:]
+    flat = _sep_correlate(img.reshape(h, w, int(np.prod(trail))),
+                          kern_v, kern_h, mode, precision)
+    return flat.reshape((h, w) + trail)
+
+
+def _correlate1d_h(img_hwb: jax.Array, kernels: Sequence[Tuple[float, ...]],
+                   mode: str, precision: str) -> List[jax.Array]:
+    """Horizontal 1-D correlations of an (h, w, b) image with several kernels
+    at once: one (h*b, w) @ (w, k*w) matmul (kernels stack into the free dim)."""
     prec = _PRECISION[precision]
-    if axis == 0:
-        B = _band_matrix(img.shape[0], kernel, "edge")
-        return jnp.dot(B, img, preferred_element_type=jnp.float32, precision=prec)
-    B = _band_matrix(img.shape[1], kernel, "edge")
-    return jnp.dot(img, B.T, preferred_element_type=jnp.float32, precision=prec)
+    h, w, b = img_hwb.shape
+    Bh = jnp.concatenate([_band_matrix(w, k, mode).T for k in kernels], axis=1)
+    x = img_hwb.transpose(0, 2, 1).reshape(h * b, w)
+    y = jnp.dot(x, Bh, preferred_element_type=jnp.float32, precision=prec)
+    return [y[:, i * w:(i + 1) * w].reshape(h, b, w).transpose(0, 2, 1)
+            for i in range(len(kernels))]
 
 
 def _gaussian_kernel(ksize: int, sigma: float) -> Tuple[float, ...]:
@@ -177,7 +200,7 @@ def _gaussian_blur(img: jax.Array, ksize: int, sigma: float,
     """Separable Gaussian with OpenCV's sigma-from-ksize rule and
     reflect-101 borders (GaussianBlur defaults)."""
     g = _gaussian_kernel(ksize, sigma)
-    return _sep_correlate(img, g, g, "reflect", precision)
+    return _sep_correlate_nd(img, g, g, "reflect", precision)
 
 
 def _box_blur(img: jax.Array, winsize: int,
@@ -189,42 +212,46 @@ def _box_blur(img: jax.Array, winsize: int,
     winsize**2 (numerically verified against the oracle: even windows behave
     as an inflated symmetric sum, not an asymmetric one).
 
-    Accepts (h, w) or (h, w, c); channels share the two matmuls.
+    Accepts (h, w) or (h, w, *trailing); trailing dims share the two matmuls.
     """
     m = winsize // 2
     ones = tuple([1.0] * (2 * m + 1))
-    return _sep_correlate(img, ones, ones, "edge", precision)
+    return _sep_correlate_nd(img, ones, ones, "edge", precision)
 
 
 # ------------------------------------------------------------ core stages
 def _poly_exp(img: jax.Array, n: int, sigma: float,
               precision: str = "highest") -> jax.Array:
-    """Per-pixel quadratic fit -> (h, w, 5) coefficient image.
+    """Per-pixel quadratic fit: (h, w, b) -> (h, w, b, 5).
 
     Channel layout (matching the solver below):
       0: b_y (linear y), 1: b_x (linear x), 2: a_yy, 3: a_xx, 4: a_xy
+
+    Batched frames ride the matmul free dimension: the vertical pass is one
+    (3h, h) @ (h, w*b) matmul producing all three moments for every frame in
+    the batch; the horizontal pass stacks kernels the same way.
     """
     g_np, xg_np, xxg_np, ig11, ig03, ig33, ig55 = _poly_exp_moments(n, sigma)
     g = tuple(float(v) for v in g_np)
     xg = tuple(float(v) for v in xg_np)
     xxg = tuple(float(v) for v in xxg_np)
 
-    h, w = img.shape
+    h, w, b = img.shape
     prec = _PRECISION[precision]
     # vertical pass: one stacked (3h, h) band matrix -> all three moments in
-    # a single MXU matmul.
+    # a single MXU matmul over the w*b free dimension.
     Bv = jnp.concatenate(
         [_band_matrix(h, g, "edge"), _band_matrix(h, xg, "edge"),
          _band_matrix(h, xxg, "edge")], axis=0)
-    t = jnp.dot(Bv, img, preferred_element_type=jnp.float32, precision=prec)
-    t0, t1, t2 = t[:h], t[h:2 * h], t[2 * h:]
-    # horizontal pass
-    b1 = _correlate1d(t0, g, axis=1, precision=precision)    # <f>
-    b2 = _correlate1d(t0, xg, axis=1, precision=precision)   # x moment
-    b3 = _correlate1d(t1, g, axis=1, precision=precision)    # y moment
-    b4 = _correlate1d(t0, xxg, axis=1, precision=precision)  # x^2 moment
-    b5 = _correlate1d(t2, g, axis=1, precision=precision)    # y^2 moment
-    b6 = _correlate1d(t1, xg, axis=1, precision=precision)   # xy moment
+    t = jnp.dot(Bv, img.reshape(h, w * b), preferred_element_type=jnp.float32,
+                precision=prec)
+    t0 = t[:h].reshape(h, w, b)
+    t1 = t[h:2 * h].reshape(h, w, b)
+    t2 = t[2 * h:].reshape(h, w, b)
+    # horizontal pass (kernels stacked per input)
+    b1, b2, b4 = _correlate1d_h(t0, [g, xg, xxg], "edge", precision)
+    b3, b6 = _correlate1d_h(t1, [g, xg], "edge", precision)
+    (b5,) = _correlate1d_h(t2, [g], "edge", precision)
 
     r0 = b3 * ig11
     r1 = b2 * ig11
@@ -239,7 +266,6 @@ _BORDER_SCALES = (0.14, 0.14, 0.4472, 0.4472, 0.4472)
 
 def _border_scale_map(h: int, w: int) -> jax.Array:
     """Downweighting of constraints near image borders (5-px ramp)."""
-    s = np.ones(max(h, w), np.float32)
     ramp = np.array(_BORDER_SCALES, np.float32)
     b = len(ramp)
 
@@ -253,7 +279,11 @@ def _border_scale_map(h: int, w: int) -> jax.Array:
 
 
 def _warp_gather(R1: jax.Array, fx, fy, x1, y1, h: int, w: int) -> jax.Array:
-    """Exact bilinear warp via XLA gather (4 taps)."""
+    """Exact bilinear warp via XLA gather (4 taps).
+
+    R1 is (h, w, b, c); fx/fy/x1/y1 are (h, w, b) per-frame coordinates."""
+    b = R1.shape[2]
+    bi = jax.lax.broadcasted_iota(jnp.int32, (1, 1, b), 2)
     x1i = jnp.clip(x1, 0, w - 1).astype(jnp.int32)
     y1i = jnp.clip(y1, 0, h - 1).astype(jnp.int32)
     x2i = jnp.minimum(x1i + 1, w - 1)
@@ -262,10 +292,10 @@ def _warp_gather(R1: jax.Array, fx, fy, x1, y1, h: int, w: int) -> jax.Array:
     a01 = fx * (1 - fy)
     a10 = (1 - fx) * fy
     a11 = fx * fy
-    return (a00[..., None] * R1[y1i, x1i]
-            + a01[..., None] * R1[y1i, x2i]
-            + a10[..., None] * R1[y2i, x1i]
-            + a11[..., None] * R1[y2i, x2i])
+    return (a00[..., None] * R1[y1i, x1i, bi]
+            + a01[..., None] * R1[y1i, x2i, bi]
+            + a10[..., None] * R1[y2i, x1i, bi]
+            + a11[..., None] * R1[y2i, x2i, bi])
 
 
 def _warp_separable(R1: jax.Array, fx, fy, x1, y1, h: int, w: int,
@@ -280,14 +310,14 @@ def _warp_separable(R1: jax.Array, fx, fy, x1, y1, h: int, w: int,
     ±``max_shift``; larger true motion needs the gather path or a pyramid.
 
     The VPU cost is 2*(2*max_shift+2) streaming passes, ~4x faster than the
-    TPU gather at max_shift=16.
+    TPU gather at max_shift=16. R1 is (h, w, b, c); batches stream through
+    the same shifted passes (cost scales linearly in b, still VPU-bound).
     """
     S = max_shift
-    sy = jnp.clip(y1 - jax.lax.broadcasted_iota(jnp.float32, (h, w), 0),
-                  -S, S).astype(jnp.int32)
-    sx = jnp.clip(x1 - jax.lax.broadcasted_iota(jnp.float32, (h, w), 1),
-                  -S, S).astype(jnp.int32)
-    c = R1.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 1)
+    sy = jnp.clip(y1 - row, -S, S).astype(jnp.int32)
+    sx = jnp.clip(x1 - col, -S, S).astype(jnp.int32)
 
     # y-stage: A(y, x) = (1-fy) R1[y+sy, x] + fy R1[y+sy+1, x]
     Rp = jnp.concatenate([jnp.repeat(R1[:1], S + 1, 0), R1,
@@ -311,10 +341,13 @@ def _warp_separable(R1: jax.Array, fx, fy, x1, y1, h: int, w: int,
 def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array,
                      border: jax.Array, warp: str = "gather",
                      max_shift: int = 16) -> jax.Array:
-    """Per-pixel normal-equation entries M = [G11, G12, G22, h1, h2]."""
+    """Per-pixel normal-equation entries M = [G11, G12, G22, h1, h2].
+
+    All arrays carry the (h, w, b, ...) layout: R0/R1 (h, w, b, 5),
+    flow (h, w, b, 2), border (h, w)."""
     h, w = flow.shape[:2]
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 0)
     dx = flow[..., 0]
     dy = flow[..., 1]
     fx = xs + dx
@@ -328,6 +361,17 @@ def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array,
     fy = jnp.where(inside, fy, 0.0)
     if warp == "separable":
         r = _warp_separable(R1, fx, fy, x1, y1, h, w, max_shift)
+    elif warp == "auto":
+        # Exactness guard: the separable warp covers |displacement| <=
+        # max_shift - 1 (one extra tap for the fractional neighbor). When the
+        # current flow estimate exceeds that anywhere, fall back to the exact
+        # gather for THIS refit. Both branches compile; only one runs.
+        max_disp = jnp.max(jnp.abs(flow))
+        r = jax.lax.cond(
+            max_disp <= float(max_shift - 1),
+            lambda: _warp_separable(R1, fx, fy, x1, y1, h, w, max_shift),
+            lambda: _warp_gather(R1, fx, fy, x1, y1, h, w),
+        )
     else:
         r = _warp_gather(R1, fx, fy, x1, y1, h, w)
 
@@ -339,11 +383,12 @@ def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array,
     r2 = r2 + r4 * dy + r6 * dx
     r3 = r3 + r6 * dy + r5 * dx
 
-    r2 = r2 * border
-    r3 = r3 * border
-    r4 = r4 * border
-    r5 = r5 * border
-    r6 = r6 * border
+    bmap = border[..., None]
+    r2 = r2 * bmap
+    r3 = r3 * bmap
+    r4 = r4 * bmap
+    r5 = r5 * bmap
+    r6 = r6 * bmap
 
     m0 = r4 * r4 + r6 * r6
     m1 = (r4 + r5) * r6
@@ -360,7 +405,7 @@ def _solve_flow(M: jax.Array, winsize: int,
     # window-independent amount (this is what makes the solver's fixed point
     # slightly shrink large displacements — intentional parity behavior).
     scale = 1.0 / (winsize * winsize)
-    Mb = _box_blur(M, winsize, precision) * scale  # all 5 channels, 2 matmuls
+    Mb = _box_blur(M, winsize, precision) * scale  # (h, w, b, 5), 2 matmuls
     g11, g12, g22, h1, h2 = (Mb[..., i] for i in range(5))
     idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
     dx = (g11 * h2 - g12 * h1) * idet
@@ -373,21 +418,21 @@ def _resize_linear(img: jax.Array, shape: Tuple[int, int]) -> jax.Array:
 
 
 # --------------------------------------------------------------- top level
-@functools.partial(jax.jit, static_argnames=("params",))
-def farneback_flow(prev: jax.Array, curr: jax.Array,
-                   params: FarnebackParams = FarnebackParams()) -> jax.Array:
-    """Dense flow from ``prev`` to ``curr`` (grayscale (h, w)), returns (h, w, 2).
+def _farneback_hwb(prev: jax.Array, curr: jax.Array,
+                   params: FarnebackParams) -> jax.Array:
+    """Core solver over channel-last batches: (h, w, b) x2 -> (h, w, b, 2).
 
     Matches cv2.calcOpticalFlowFarneback(flags=0): coarse-to-fine over
     ``levels`` pyramid layers, each layer running ``iterations`` rounds of
     (box-blur normal equations -> 2x2 solve -> refit matrices).
     """
-    if params.warp not in ("gather", "separable"):
+    if params.warp not in ("gather", "separable", "auto"):
         raise ValueError(
-            f"warp={params.warp!r} is not valid, has to be 'gather' or 'separable'")
+            f"warp={params.warp!r} is not valid, has to be 'gather', "
+            f"'separable' or 'auto'")
     prev = prev.astype(jnp.float32)
     curr = curr.astype(jnp.float32)
-    h, w = prev.shape
+    h, w, b = prev.shape
 
     # Cap levels so coarse layers keep enough pixels for the poly window.
     levels = params.levels
@@ -411,7 +456,7 @@ def farneback_flow(prev: jax.Array, curr: jax.Array,
         i1 = _resize_linear(_gaussian_blur(curr, smooth_sz, sigma, params.precision), (lh, lw))
 
         if flow is None:
-            flow = jnp.zeros((lh, lw, 2), jnp.float32)
+            flow = jnp.zeros((lh, lw, b, 2), jnp.float32)
         else:
             flow = _resize_linear(flow, (lh, lw)) * (1.0 / params.pyr_scale)
 
@@ -439,8 +484,21 @@ def farneback_flow(prev: jax.Array, curr: jax.Array,
     return flow
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def farneback_flow(prev: jax.Array, curr: jax.Array,
+                   params: FarnebackParams = FarnebackParams()) -> jax.Array:
+    """Dense flow from ``prev`` to ``curr`` (grayscale (h, w)), returns (h, w, 2)."""
+    return _farneback_hwb(prev[..., None], curr[..., None], params)[:, :, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
 def farneback_flow_batch(prev: jax.Array, curr: jax.Array,
                          params: FarnebackParams = FarnebackParams()) -> jax.Array:
-    """Batched variant: (n, h, w) x2 -> (n, h, w, 2)."""
-    fn = functools.partial(farneback_flow, params=params)
-    return jax.vmap(fn)(prev, curr)
+    """Batched variant: (n, h, w) x2 -> (n, h, w, 2).
+
+    The batch folds into the matmul free dimension (channel-last internal
+    layout), NOT a vmap — measured 1.7x faster at batch=8 than the batched
+    dot_general tiling vmap produces (PERF.md "Batching")."""
+    flow = _farneback_hwb(prev.transpose(1, 2, 0), curr.transpose(1, 2, 0),
+                          params)
+    return flow.transpose(2, 0, 1, 3)

@@ -80,6 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="dense flow source: PRECOMPUTED|FARNEBACK|LUCAS_KANADE|RAFT|GROUND_TRUTH")
     parser.add_argument("--batch-size", type=int, default=8,
                         help="frame pairs per device batch")
+    parser.add_argument("--devices", type=int, default=0,
+                        help="shard frame batches over N devices (data-"
+                             "parallel mesh); 0 = single device")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--prepare-dataset", action="store_true",
                         help="prepares the YOLOv4 training dataset")
@@ -106,6 +109,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         logger=logger, dataset=args.dataset, sequence=args.sequence,
         mode=args.mode, algorithm=args.algorithm,
         flow_source=args.flow_source, batch_size=args.batch_size,
+        devices=args.devices,
         debug=args.debug, prepare_dataset=args.prepare_dataset,
         validate=args.validate, headless=args.headless,
         data_to_yolo=args.data_to_yolo, undistort=args.undistort)

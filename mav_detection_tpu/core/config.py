@@ -107,6 +107,9 @@ class RunConfig:
     data_to_yolo: bool = False
     undistort: bool = False
     batch_size: int = 8
+    # number of devices for frame-batch data parallelism: 0 = single-device,
+    # N > 1 = shard each frame batch over an N-device ``data`` mesh
+    devices: int = 0
     settings_path: Optional[str] = None
     logger: Optional[logging.Logger] = None
     settings: Dict[str, Any] = field(default_factory=dict)

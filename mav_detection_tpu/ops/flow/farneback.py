@@ -54,6 +54,11 @@ class FarnebackParams:
     #   "separable" — two shifted-sum passes (see _warp_separable): ~4x
     #                 faster, exact for |displacement| <= max_shift up to a
     #                 negligible cross-term approximation on smooth flow.
+    #   "pallas"    — band-tiled Pallas kernel fusing refit + box blur +
+    #                 solve per iteration (farneback_pallas.py): working set
+    #                 is batch-independent, refits run EVERY iteration (the
+    #                 ``fast`` schedule is ignored — it exists only because
+    #                 XLA refits are expensive).
     #   "auto"      — separable, with a data-dependent lax.cond fallback to
     #                 the exact gather whenever the current flow estimate
     #                 exceeds the separable warp's max_shift coverage.
@@ -426,10 +431,10 @@ def _farneback_hwb(prev: jax.Array, curr: jax.Array,
     ``levels`` pyramid layers, each layer running ``iterations`` rounds of
     (box-blur normal equations -> 2x2 solve -> refit matrices).
     """
-    if params.warp not in ("gather", "separable", "auto"):
+    if params.warp not in ("gather", "separable", "pallas", "auto"):
         raise ValueError(
             f"warp={params.warp!r} is not valid, has to be 'gather', "
-            f"'separable' or 'auto'")
+            f"'separable', 'pallas' or 'auto'")
     prev = prev.astype(jnp.float32)
     curr = curr.astype(jnp.float32)
     h, w, b = prev.shape
@@ -463,6 +468,20 @@ def _farneback_hwb(prev: jax.Array, curr: jax.Array,
         R0 = _poly_exp(i0, params.poly_n, params.poly_sigma, params.precision)
         R1 = _poly_exp(i1, params.poly_n, params.poly_sigma, params.precision)
         border = _border_scale_map(lh, lw)
+
+        if params.warp == "pallas":
+            from mav_detection_tpu.ops.flow.farneback_pallas import (
+                farneback_iterate_pallas)
+
+            flow_cf = farneback_iterate_pallas(
+                jnp.transpose(R0, (2, 3, 0, 1)),
+                jnp.transpose(R1, (2, 3, 0, 1)),
+                jnp.transpose(flow, (2, 3, 0, 1)), border,
+                iterations=params.iterations, winsize=params.winsize,
+                max_shift=params.max_shift,
+                interpret=jax.default_backend() == "cpu")
+            flow = jnp.transpose(flow_cf, (2, 3, 0, 1))
+            continue
 
         # Jacobi-style iteration: solve everywhere, then refit everywhere.
         # The oracle implementation does a row-sequential Gauss-Seidel sweep

@@ -1,0 +1,255 @@
+"""Pallas TPU kernel for the Farneback iteration: fused refit + solve.
+
+The XLA formulation of the solver (``farneback.py``) runs each stage as a
+full-frame pass; at batch=1 the ~7 MB intermediates fit the ~16 MB VMEM so
+XLA fuses stage chains, but any batching (or larger frames) spills every
+stage boundary to HBM — measured 2x per-frame regression at batch=8 even
+with the batch folded into the matmul free dimension (PERF.md "Batching").
+
+This kernel makes the working set batch-independent by tiling the image into
+row bands and fusing one whole solver iteration per band:
+
+    update_matrices (separable shifted-sum warp of R1 + normal-equation
+    entries) -> 13x13 box blur -> 2x2 solve -> next flow
+
+Layout is channel-first ``(batch, channel, H, W)`` so the spatial dims map to
+TPU (sublane, lane) tiles. Halo data (the warp needs +-(S+1) rows/cols, the
+box blur +-m) is provided by stacking overlapping row bands in XLA once per
+pyramid level — every kernel operand is then a plain non-overlapping
+BlockSpec and Pallas double-buffers the HBM->VMEM streams automatically; no
+manual DMA is needed.
+
+Because a fused iteration makes the refit nearly free, this path refits
+every iteration (the XLA path's ``fast`` sparse-refit schedule exists only
+because XLA refits are expensive) — so it is *more* accurate than the fast
+schedule while being several times faster.
+
+Parity target: ``cv2.calcOpticalFlowFarneback`` via the same Jacobi fixed
+point as ``farneback._solve_flow`` / ``_update_matrices``
+(``/root/reference/src/farneback.py:76-80`` is the spec).
+
+Plane-coordinate conventions inside the kernel (P = S + 1 + m):
+  * slab/r0/border blocks span ``(th + 2P, W + 2P)``; plane row j maps to
+    absolute row ``band*th - P + j``, plane col k to absolute col ``k - P``.
+  * flow block spans rows ``[band*th - m, band*th + th + m)`` (the M region
+    rows) at the same padded column range.
+  * M region: the output tile widened by +-m (box-blur halo).
+  * A region (y-warped R1): the M region widened by +-S (+1 fractional
+    neighbor) along x.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _stack_bands(x: jax.Array, th: int, halo: int, axis_h: int) -> jax.Array:
+    """(…, H, …) -> (…, nbands, th + 2*halo, …): overlapping row bands of an
+    edge-padded array, so Pallas BlockSpecs see non-overlapping blocks."""
+    h = x.shape[axis_h]
+    nbands = -(-h // th)
+    pad_hi = halo + nbands * th - h
+    pads = [(0, 0)] * x.ndim
+    pads[axis_h] = (halo, pad_hi)
+    xp = jnp.pad(x, pads, mode="edge")
+    bands = [
+        jax.lax.slice_in_dim(xp, i * th, i * th + th + 2 * halo, axis=axis_h)
+        for i in range(nbands)
+    ]
+    return jnp.stack(bands, axis=axis_h)
+
+
+def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
+                       *, th: int, H: int, W: int, S: int, m: int,
+                       inv_win2: float):
+    """One Farneback iteration for one (batch, band) grid step."""
+    P = S + 1 + m
+    band = pl.program_id(1)
+    row_base = band * th - m          # absolute row of flow/M plane row 0
+
+    mrows = th + 2 * m                # rows of the flow / M / A regions
+    mcols = W + 2 * m                 # cols of the M region
+    acols = W + 2 * m + 2 * S + 1     # cols of the A region
+    o_f = P - m                       # plane-col offset of the M region
+    o_a = P - m - S                   # plane-col offset of the A region
+
+    dx = flow_ref[0, 0, 0]            # (mrows, W + 2P)
+    dy = flow_ref[0, 1, 0]
+
+    # Coordinates are CLAMPED to the image for the weight computation: a
+    # virtual (halo) position then reproduces its edge pixel's fractional
+    # weights and inside-mask exactly, which — combined with edge-padded
+    # content — makes the A/M halos equal their edge values (the XLA path's
+    # replicate-padding semantics, and OpenCV's).
+    y_abs = (row_base.astype(jnp.float32)
+             + jax.lax.broadcasted_iota(jnp.float32, (mrows, W + 2 * P), 0))
+    x_abs = (jax.lax.broadcasted_iota(jnp.float32, (mrows, W + 2 * P), 1)
+             - jnp.float32(P))
+    y_eff = jnp.clip(y_abs, 0, H - 1)
+    x_eff = jnp.clip(x_abs, 0, W - 1)
+    fx_t = x_eff + dx
+    fy_t = y_eff + dy
+    x1 = jnp.floor(fx_t)
+    y1 = jnp.floor(fy_t)
+    fx = fx_t - x1
+    fy = fy_t - y1
+    inside = (x1 >= 0) & (x1 < W - 1) & (y1 >= 0) & (y1 < H - 1)
+    fx = jnp.where(inside, fx, 0.0)
+    fy = jnp.where(inside, fy, 0.0)
+    sy = jnp.clip(y1 - y_eff, -S, S)
+    sx = jnp.clip(x1 - x_eff, -S, S)
+
+    slabs = [slab_ref[0, c, 0] for c in range(5)]   # (th + 2P, W + 2P) each
+
+    # ---- y-stage: A[c][j, a] = (1-fy) R1[y+sy, x] + fy R1[y+sy+1, x]
+    fy_a = jax.lax.slice(fy, (0, o_a), (mrows, o_a + acols))
+    sy_a = jax.lax.slice(sy, (0, o_a), (mrows, o_a + acols))
+    A = [jnp.zeros((mrows, acols), jnp.float32) for _ in range(5)]
+    for s in range(-S, S + 2):
+        wgt = (jnp.where(sy_a == s, 1.0 - fy_a, 0.0)
+               + jnp.where(sy_a == s - 1, fy_a, 0.0))
+        row0 = o_f + s                # slab row of A row 0 at shift s
+        for c in range(5):
+            A[c] = A[c] + wgt * jax.lax.slice(
+                slabs[c], (row0, o_a), (row0 + mrows, o_a + acols))
+
+    # ---- x-stage + normal-equation entries on the M region
+    fx_m = jax.lax.slice(fx, (0, o_f), (mrows, o_f + mcols))
+    sx_m = jax.lax.slice(sx, (0, o_f), (mrows, o_f + mcols))
+    dx_m = jax.lax.slice(dx, (0, o_f), (mrows, o_f + mcols))
+    dy_m = jax.lax.slice(dy, (0, o_f), (mrows, o_f + mcols))
+    r = [jnp.zeros((mrows, mcols), jnp.float32) for _ in range(5)]
+    for s in range(-S, S + 2):
+        wgt = (jnp.where(sx_m == s, 1.0 - fx_m, 0.0)
+               + jnp.where(sx_m == s - 1, fx_m, 0.0))
+        col0 = S + s                  # A col of M col 0 at shift s
+        for c in range(5):
+            r[c] = r[c] + wgt * jax.lax.slice(A[c], (0, col0),
+                                              (mrows, col0 + mcols))
+
+    def r0_plane(c):
+        return jax.lax.slice(r0_ref[0, c, 0], (o_f, o_f),
+                             (o_f + mrows, o_f + mcols))
+
+    bmap = jax.lax.slice(border_ref[0], (o_f, o_f),
+                         (o_f + mrows, o_f + mcols))
+    r4 = (r0_plane(2) + r[2]) * 0.5
+    r5 = (r0_plane(3) + r[3]) * 0.5
+    r6 = (r0_plane(4) + r[4]) * 0.25
+    r2 = (r0_plane(0) - r[0]) * 0.5
+    r3 = (r0_plane(1) - r[1]) * 0.5
+    r2 = (r2 + r4 * dy_m + r6 * dx_m) * bmap
+    r3 = (r3 + r6 * dy_m + r5 * dx_m) * bmap
+    r4 = r4 * bmap
+    r5 = r5 * bmap
+    r6 = r6 * bmap
+
+    M = [r4 * r4 + r6 * r6,
+         (r4 + r5) * r6,
+         r5 * r5 + r6 * r6,
+         r4 * r2 + r6 * r3,
+         r6 * r2 + r5 * r3]
+
+    # Replicate-M boundary semantics (OpenCV / XLA-path parity): positions of
+    # the M region outside the image take the edge row/col's computed values
+    # instead of the garbage the warp produces at virtual coordinates.
+    row_abs = (row_base
+               + jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0))
+    col_abs = (jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1) - m)
+    bot_idx = jnp.clip(H - 1 - row_base, 0, mrows - 1)
+    for c in range(5):
+        mc = M[c]
+        top = jax.lax.slice(mc, (m, 0), (m + 1, mcols))           # abs row 0
+        mc = jnp.where(row_abs >= 0, mc, top)
+        bottom = jax.lax.dynamic_slice(mc, (bot_idx, 0), (1, mcols))
+        mc = jnp.where(row_abs <= H - 1, mc, bottom)
+        left = jax.lax.slice(mc, (0, m), (mrows, m + 1))          # abs col 0
+        mc = jnp.where(col_abs >= 0, mc, left)
+        right = jax.lax.slice(mc, (0, W + m - 1), (mrows, W + m))
+        M[c] = jnp.where(col_abs <= W - 1, mc, right)
+
+    # ---- (2m+1)^2 box blur (shifted-sum form) + 2x2 solve
+    taps = 2 * m + 1
+    Mb = []
+    for c in range(5):
+        v = jnp.zeros((th, mcols), jnp.float32)
+        for d in range(taps):
+            v = v + jax.lax.slice(M[c], (d, 0), (d + th, mcols))
+        hsum = jnp.zeros((th, W), jnp.float32)
+        for d in range(taps):
+            hsum = hsum + jax.lax.slice(v, (0, d), (th, d + W))
+        Mb.append(hsum * inv_win2)
+
+    g11, g12, g22, h1, h2 = Mb
+    idet = 1.0 / (g11 * g22 - g12 * g12 + 1e-3)
+    out_ref[0, 0] = (g11 * h2 - g12 * h1) * idet
+    out_ref[0, 1] = (g22 * h1 - g12 * h2) * idet
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "winsize", "max_shift", "band_rows",
+                     "interpret"))
+def farneback_iterate_pallas(
+    R0cf: jax.Array,            # (b, 5, H, W) channel-first coefficients
+    R1cf: jax.Array,            # (b, 5, H, W)
+    flow0: jax.Array,           # (b, 2, H, W) initial flow
+    border: jax.Array,          # (H, W)
+    iterations: int = 10,
+    winsize: int = 12,
+    max_shift: int = 16,
+    band_rows: int = 60,
+    interpret: bool = False,
+) -> jax.Array:
+    """Run ``iterations`` fused Farneback iterations; returns (b, 2, H, W)."""
+    b, _, H, W = R0cf.shape
+    S = max_shift
+    m = winsize // 2
+    P = S + 1 + m
+    th = min(band_rows, H)
+    nbands = -(-H // th)
+    Hp = nbands * th  # Pallas clamps (not masks) ragged blocks: pad instead
+
+    # loop-invariant banded operands (built once, reused every iteration)
+    pad_w = [(0, 0), (0, 0), (0, 0), (P, P)]
+    slab = _stack_bands(jnp.pad(R1cf, pad_w, mode="edge"), th, P, 2)
+    r0b = _stack_bands(jnp.pad(R0cf, pad_w, mode="edge"), th, P, 2)
+    borb = _stack_bands(jnp.pad(border, [(0, 0), (P, P)], mode="edge"),
+                        th, P, 0)
+
+    kern = functools.partial(
+        _fused_iter_kernel, th=th, H=H, W=W, S=S, m=m,
+        inv_win2=1.0 / (winsize * winsize))
+
+    bandspec5 = pl.BlockSpec(
+        (1, 5, 1, th + 2 * P, W + 2 * P),
+        lambda i, j: (i, 0, j, 0, 0), memory_space=pltpu.VMEM)
+    borspec = pl.BlockSpec(
+        (1, th + 2 * P, W + 2 * P),
+        lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+    flowspec = pl.BlockSpec(
+        (1, 2, 1, th + 2 * m, W + 2 * P),
+        lambda i, j: (i, 0, j, 0, 0), memory_space=pltpu.VMEM)
+    outspec = pl.BlockSpec(
+        (1, 2, th, W), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((b, 2, Hp, W), jnp.float32),
+        grid=(b, nbands),
+        in_specs=[flowspec, bandspec5, bandspec5, borspec],
+        out_specs=outspec,
+        interpret=interpret,
+    )
+
+    flow = flow0
+    for _ in range(iterations):
+        flowb = _stack_bands(
+            jnp.pad(flow, [(0, 0), (0, 0), (0, 0), (P, P)], mode="edge"),
+            th, m, 2)
+        flow = call(flowb, slab, r0b, borb)[:, :, :H]
+    return flow

@@ -83,9 +83,7 @@ def aggregate_metrics_psum(mesh: Mesh, segmentation: jax.Array,
         total = jax.lax.psum(stats, axis_name="data")
         return total[0] / total[2], total[1] / total[3]
 
-    from jax.experimental.shard_map import shard_map
-
-    fn = shard_map(
+    fn = jax.shard_map(
         shard_fn, mesh=mesh,
         in_specs=(P("data"), P("data")),
         out_specs=(P(), P()),

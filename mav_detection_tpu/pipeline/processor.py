@@ -48,7 +48,22 @@ class Processor:
         self.logger = config.logger or logging.getLogger("mav_detection_tpu")
         self.dataset = config.get_dataset()
         self.batch_size = max(1, config.batch_size)
+        # frame-batch data parallelism: an N-device ``data`` mesh (SURVEY §2c)
+        self.mesh = None
+        if config.devices and config.devices > 1:
+            from mav_detection_tpu.parallel import make_mesh
+
+            avail = len(jax.devices())
+            if avail < config.devices:
+                self.logger.warning(
+                    f"--devices {config.devices} requested but only {avail} "
+                    f"available; running unsharded")
+            else:
+                self.mesh = make_mesh(config.devices)
+                # each device needs at least one frame of every batch
+                self.batch_size = max(self.batch_size, config.devices)
         self.detection_results: Dict[int, FrameResult] = {}
+        self._psum_metrics: List[tuple] = []
         self.frame_step_size = 1
         self.is_exiting = False
         self._farneback = FarnebackParams()
@@ -78,12 +93,15 @@ class Processor:
                 g = 0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]
                 return np.round(g).astype(np.uint8)
 
-            prevs = np.stack([gray(ds.get_frame(i)) for i in indices])
-            currs = np.stack([gray(ds.get_frame(i + 1)) for i in indices])
+            prevs = jnp.asarray(np.stack([gray(ds.get_frame(i)) for i in indices]))
+            currs = jnp.asarray(np.stack([gray(ds.get_frame(i + 1)) for i in indices]))
+            if self.mesh is not None and len(indices) % self.mesh.devices.size == 0:
+                from mav_detection_tpu.parallel import shard_frame_batch
+
+                prevs, currs = shard_frame_batch(self.mesh, prevs, currs)
             # returns a DEVICE array: the caller feeds it straight into the
             # fused detection step without a host round trip
-            return farneback_flow_batch(
-                jnp.asarray(prevs), jnp.asarray(currs), self._farneback)
+            return farneback_flow_batch(prevs, currs, self._farneback)
         if src == FlowSource.LUCAS_KANADE:
             from mav_detection_tpu.ops.flow.lucas_kanade import lk_dense_flow
 
@@ -100,6 +118,23 @@ class Processor:
             currs = np.stack([ds.get_frame(i + 1) for i in indices])
             return np.asarray(raft_flow_batch(jnp.asarray(prevs), jnp.asarray(currs)))
         raise ValueError(f"unsupported flow source {src}")
+
+    def _detect_sharded(self, detect_fn, args, nb: int):
+        """Run the fused detection step data-parallel over the mesh: pad the
+        batch to a multiple of the mesh size, shard the batch axis over
+        ``data`` (GSPMD partitions the whole program), trim the padding."""
+        from mav_detection_tpu.parallel import shard_frame_batch
+
+        n_dev = self.mesh.devices.size
+        pad = (-nb) % n_dev
+        if pad:
+            args = tuple(jnp.concatenate(
+                [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0) for a in args)
+        sharded = shard_frame_batch(self.mesh, *args)
+        out = detect_fn(*sharded, DetectionStep())
+        if pad:
+            out = type(out)(*(x[:nb] for x in out))
+        return out
 
     # ------------------------------------------------------------- detect
     def run_detection(self) -> Dict[int, FrameResult]:
@@ -227,14 +262,38 @@ class Processor:
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, nb)
 
-            detect_fn = (detect_frame_batch if (out_dirs and self.save_images)
+            # sharded runs keep the full outputs: the psum metric reduction
+            # consumes the on-device masks without a host round trip
+            detect_fn = (detect_frame_batch
+                         if (out_dirs and self.save_images) or self.mesh is not None
                          else detect_frame_batch_scalars)
             with self.tracer.stage("stage+detect"):
-                out = detect_fn(
-                    jnp.asarray(flow), gt_flow, jnp.asarray(omegas),
-                    jnp.asarray(dts), jnp.asarray(segs), jnp.asarray(skys),
-                    jnp.asarray(depths), jnp.asarray(gt_foes), keys,
-                    DetectionStep())
+                args = (jnp.asarray(flow), gt_flow, jnp.asarray(omegas),
+                        jnp.asarray(dts), jnp.asarray(segs), jnp.asarray(skys),
+                        jnp.asarray(depths), jnp.asarray(gt_foes), keys)
+                if self.mesh is not None:
+                    out = self._detect_sharded(detect_fn, args, nb)
+                else:
+                    out = detect_fn(*args, DetectionStep())
+
+            # on-mesh global metric reduction (psum over the data axis):
+            # accumulates run-level fixed-threshold TPR/FPR without pulling
+            # masks to the host (reference sums these in Python per frame)
+            if self.mesh is not None and hasattr(out, "estimate_fixed"):
+                from mav_detection_tpu.parallel import aggregate_metrics_psum
+
+                n_dev = self.mesh.devices.size
+                pad = (-nb) % n_dev
+                seg_p = np.concatenate([segs, np.zeros((pad,) + segs.shape[1:],
+                                                       segs.dtype)]) if pad else segs
+                est = jnp.concatenate(
+                    [out.estimate_fixed,
+                     jnp.zeros((pad,) + out.estimate_fixed.shape[1:],
+                               out.estimate_fixed.dtype)]) if pad else out.estimate_fixed
+                g_tpr, g_fpr = aggregate_metrics_psum(
+                    self.mesh, jnp.asarray(seg_p),
+                    (255 * est.astype(jnp.int32)).astype(jnp.uint8))
+                self._psum_metrics.append((float(g_tpr), float(g_fpr), nb))
 
             # host materialization of the whole batch at once
             save_images = bool(out_dirs) and self.save_images
@@ -304,6 +363,13 @@ class Processor:
         if out_dirs:
             self._encode_video(out_dirs["processed"],
                                os.path.join(ds.seq_path, "processed.mp4"))
+        if self._psum_metrics:
+            wsum = sum(n for _, _, n in self._psum_metrics)
+            tpr_g = sum(t * n for t, _, n in self._psum_metrics) / wsum
+            fpr_g = sum(f * n for _, f, n in self._psum_metrics) / wsum
+            self.logger.info(
+                f"on-mesh psum metrics ({self.mesh.devices.size} devices): "
+                f"fixed-threshold TPR {tpr_g:.4f} FPR {fpr_g:.6f}")
         self.logger.info("stage timing:\n" + self.tracer.summary())
         return self.detection_results
 

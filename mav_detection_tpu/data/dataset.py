@@ -166,6 +166,16 @@ class Dataset:
     def has_precomputed_flow(self) -> bool:
         return os.path.exists(f"{self.flow_path}/000000.flo")
 
+    def get_flow_path(self, i: int) -> Optional[str]:
+        """On-disk ``.flo`` path for precomputed flow, or None — lets the
+        pipeline's staging thread use the native threaded batch reader."""
+        path = f"{self.flow_path}/{i:06d}.flo"
+        return path if os.path.exists(path) else None
+
+    def get_gt_of_path(self, i: int) -> Optional[str]:
+        path = f"{self.gt_of_path}/image_{i:05d}.flo"
+        return path if os.path.exists(path) else None
+
     def get_annotation(self, i: int, ann_path: Optional[str] = None) -> List[Rectangle]:
         if ann_path is None:
             ann_path = f"{self.ann_path}/image_{i:05d}.txt"

@@ -64,6 +64,7 @@ class Processor:
                 self.batch_size = max(self.batch_size, config.devices)
         self.detection_results: Dict[int, FrameResult] = {}
         self._psum_metrics: List[tuple] = []
+        self._stage_host_seconds = 0.0
         self.frame_step_size = 1
         self.is_exiting = False
         self._farneback = FarnebackParams()
@@ -76,13 +77,97 @@ class Processor:
         self.use_gt_flow = True
 
     # ------------------------------------------------------------ helpers
-    def _flow_batch(self, indices: List[int]) -> np.ndarray:
-        """Dense flow for frame pairs (i, i+1) for each i in indices."""
+    def _effective_flow_source(self) -> FlowSource:
         src = self.config.flow_source
-        ds = self.dataset
-        if src == FlowSource.PRECOMPUTED and not ds.has_precomputed_flow():
+        if src == FlowSource.PRECOMPUTED and not self.dataset.has_precomputed_flow():
             self.logger.info("no precomputed flow found; using on-device Farneback")
             src = FlowSource.FARNEBACK
+        return src
+
+    @staticmethod
+    def _gray(img) -> np.ndarray:
+        # host-side BT.601, kept uint8: 4x less host->device traffic
+        x = np.asarray(img, np.float32)
+        g = 0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]
+        return np.round(g).astype(np.uint8)
+
+    def _stage_batch(self, idx: List[int]) -> Dict[str, np.ndarray]:
+        """Host-side staging of one frame batch: PNG decode, gray conversion,
+        .flo reads, aux arrays. Runs on a background thread so disk IO and
+        decode overlap the device computing the PREVIOUS batch (SURVEY §7
+        step 4: decode -> staging -> double buffering)."""
+        t0 = time.time()
+        ds = self.dataset
+        h, w = ds.capture_shape[:2]
+        src = self._effective_flow_source()
+        staged: Dict[str, np.ndarray] = {}
+        if src in (FlowSource.PRECOMPUTED, FlowSource.GROUND_TRUTH):
+            path_getter = getattr(
+                ds, "get_flow_path" if src == FlowSource.PRECOMPUTED
+                else "get_gt_of_path", None)
+            try:
+                paths = ([path_getter(i) for i in idx] if path_getter
+                         else [None])
+            except Exception:  # in-memory datasets have no disk layout
+                paths = [None]
+            if path_getter and all(paths):
+                # native C++ thread-pooled .flo reads (runtime/native)
+                from mav_detection_tpu.core.flo import read_flow_batch
+
+                staged["flow_host"] = read_flow_batch(paths)
+            else:
+                getter = (ds.get_flow_uv if src == FlowSource.PRECOMPUTED
+                          else ds.get_gt_of)
+                staged["flow_host"] = np.stack(
+                    [np.asarray(getter(i), np.float32) for i in idx])
+        elif src == FlowSource.FARNEBACK:
+            staged["prevs"] = np.stack([self._gray(ds.get_frame(i)) for i in idx])
+            staged["currs"] = np.stack([self._gray(ds.get_frame(i + 1)) for i in idx])
+
+        gts = [ds.get_gt_of(i) if self.use_gt_flow else None for i in idx]
+        if any(g is not None for g in gts):
+            staged["gt_flow"] = np.stack([
+                np.asarray(g, np.float32) if g is not None
+                else np.zeros((h, w, 2), np.float32) for g in gts])
+        staged["omegas"] = np.stack([
+            np.asarray(ds.get_angular_difference(i, i + 1), np.float64)
+            / max(ds.get_delta_time(i + 1), 1e-9)
+            for i in idx]).astype(np.float32)
+        staged["dts"] = np.array([ds.get_delta_time(i + 1) for i in idx],
+                                 np.float32)
+        staged["segs"] = np.stack([
+            np.asarray(ds.get_segmentation(i))[..., 0] for i in idx])
+        staged["skys"] = np.stack([
+            np.asarray(ds.get_sky_segmentation(i)) for i in idx])
+        staged["depths"] = np.stack([
+            np.asarray(ds.get_depth(i), np.float32)
+            if ds.get_depth(i) is not None else np.ones((h, w), np.float32)
+            for i in idx])
+        staged["gt_foes"] = np.stack([
+            np.asarray(ds.get_gt_foe(i), np.float32)
+            if ds.get_gt_foe(i) is not None else np.full(2, np.nan, np.float32)
+            for i in idx])
+        self._stage_host_seconds += time.time() - t0
+        return staged
+
+    def _flow_from_staged(self, idx: List[int], staged: Dict[str, np.ndarray]):
+        """Device-side flow dispatch for a staged batch."""
+        if "flow_host" in staged:
+            return staged["flow_host"]
+        if "prevs" in staged:
+            prevs = jnp.asarray(staged["prevs"])
+            currs = jnp.asarray(staged["currs"])
+            if self.mesh is not None and len(idx) % self.mesh.devices.size == 0:
+                from mav_detection_tpu.parallel import shard_frame_batch
+
+                prevs, currs = shard_frame_batch(self.mesh, prevs, currs)
+            return farneback_flow_batch(prevs, currs, self._farneback)
+        return self._flow_batch(idx)  # LK / RAFT paths
+
+    def _flow_batch(self, indices: List[int]) -> np.ndarray:
+        """Dense flow for frame pairs (i, i+1) for each i in indices."""
+        src = self._effective_flow_source()
+        ds = self.dataset
         if src in (FlowSource.PRECOMPUTED, FlowSource.GROUND_TRUTH):
             getter = ds.get_flow_uv if src == FlowSource.PRECOMPUTED else ds.get_gt_of
             return np.stack([np.asarray(getter(i), np.float32) for i in indices])
@@ -227,38 +312,38 @@ class Processor:
                 create_if_not_exists(d)
 
         t_start = time.time()
-        for b0 in range(0, n_pairs, self.batch_size):
+        self._stage_host_seconds = 0.0
+        batches = [list(range(b0, min(b0 + self.batch_size, n_pairs)))
+                   for b0 in range(0, n_pairs, self.batch_size)]
+        from concurrent.futures import ThreadPoolExecutor
+
+        # double buffering: batch k+1 stages on a background thread (PNG
+        # decode, .flo reads) while the device crunches batch k
+        executor = ThreadPoolExecutor(max_workers=1,
+                                      thread_name_prefix="stager")
+        future = (executor.submit(self._stage_batch, batches[0])
+                  if batches else None)
+        for k, idx in enumerate(batches):
             if self.is_exiting:
                 break
-            idx = list(range(b0, min(b0 + self.batch_size, n_pairs)))
             nb = len(idx)
+            staged = future.result()
+            if k + 1 < len(batches):
+                future = executor.submit(self._stage_batch, batches[k + 1])
 
             with self.tracer.stage("flow"):
-                flow = self._flow_batch(idx)
-            gts = [ds.get_gt_of(i) if self.use_gt_flow else None for i in idx]
-            if any(g is not None for g in gts):
-                gt_flow = jnp.asarray(np.stack([
-                    np.asarray(g, np.float32) if g is not None
-                    else np.zeros((h, w, 2), np.float32) for g in gts]))
+                flow = self._flow_from_staged(idx, staged)
+            if "gt_flow" in staged:
+                gt_flow = jnp.asarray(staged["gt_flow"])
             else:
                 # device-created zeros: no host->device transfer at all
                 gt_flow = jnp.zeros((nb, h, w, 2), jnp.float32)
-            omegas = np.stack([
-                np.asarray(ds.get_angular_difference(i, i + 1), np.float64)
-                / max(ds.get_delta_time(i + 1), 1e-9)
-                for i in idx]).astype(np.float32)
-            dts = np.array([ds.get_delta_time(i + 1) for i in idx], np.float32)
-            segs = np.stack([
-                np.asarray(ds.get_segmentation(i))[..., 0] for i in idx])
-            skys = np.stack([np.asarray(ds.get_sky_segmentation(i)) for i in idx])
-            depths = np.stack([
-                np.asarray(ds.get_depth(i), np.float32)
-                if ds.get_depth(i) is not None else np.ones((h, w), np.float32)
-                for i in idx])
-            gt_foes = np.stack([
-                np.asarray(ds.get_gt_foe(i), np.float32)
-                if ds.get_gt_foe(i) is not None else np.full(2, np.nan, np.float32)
-                for i in idx])
+            omegas = staged["omegas"]
+            dts = staged["dts"]
+            segs = staged["segs"]
+            skys = staged["skys"]
+            depths = staged["depths"]
+            gt_foes = staged["gt_foes"]
             key, sub = jax.random.split(key)
             keys = jax.random.split(sub, nb)
 
@@ -354,12 +439,19 @@ class Processor:
                             np.clip(vis, 0, 255).astype(np.uint8))
 
             artifact_stage.__exit__(None, None, None)
-            done = min(b0 + self.batch_size, n_pairs)
+            done = idx[-1] + 1
             if done % max(n_pairs // 10, 1) < self.batch_size:
                 self.logger.info(
                     f"{done / n_pairs * 100:.1f}% {done}/{n_pairs} "
                     f"({done / max(time.time() - t_start, 1e-9):.1f} fps)")
 
+        executor.shutdown(wait=False, cancel_futures=True)
+        wall = time.time() - t_start
+        if wall > 0:
+            self.logger.info(
+                f"host staging {self._stage_host_seconds:.2f}s over "
+                f"{wall:.2f}s wall ({100 * self._stage_host_seconds / wall:.0f}% "
+                "— overlapped with device compute on a background thread)")
         if out_dirs:
             self._encode_video(out_dirs["processed"],
                                os.path.join(ds.seq_path, "processed.mp4"))

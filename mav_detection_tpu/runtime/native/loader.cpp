@@ -132,7 +132,6 @@ struct Prefetcher {
   int consumed = 0;  // next index the consumer expects
   std::atomic<bool> stop{false};
   std::vector<std::thread> workers;
-  std::mutex claim_mu;
 
   // strict in-order delivery: workers park out-of-order results here
   std::vector<std::pair<int, std::vector<float>>> parked;
@@ -149,11 +148,20 @@ void* prefetcher_create(const char** paths, int n, int w, int h, int depth,
   p->depth = depth < 1 ? 2 : depth;
   if (n_threads < 1) n_threads = 1;
 
+  // Memory bound: a worker may only CLAIM an index while fewer than `depth`
+  // indices are outstanding (claimed but not yet consumed). Claimed indices
+  // are contiguous, so the in-order drain below can never deadlock on a
+  // missing index — the bound applies at claim time, not at delivery time.
   auto worker = [p]() {
     for (;;) {
       int idx;
       {
-        std::lock_guard<std::mutex> lk(p->claim_mu);
+        std::unique_lock<std::mutex> lk(p->mu);
+        p->cv_space.wait(lk, [p] {
+          return p->stop.load() ||
+                 p->produced >= static_cast<int>(p->paths.size()) ||
+                 p->produced < p->consumed + p->depth;
+        });
         if (p->stop.load() ||
             p->produced >= static_cast<int>(p->paths.size()))
           return;
@@ -162,11 +170,6 @@ void* prefetcher_create(const char** paths, int n, int w, int h, int depth,
       std::vector<float> buf(p->stride);
       read_flo_file(p->paths[idx].c_str(), buf.data(), p->width, p->height);
       std::unique_lock<std::mutex> lk(p->mu);
-      p->cv_space.wait(lk, [p] {
-        return p->stop.load() ||
-               static_cast<int>(p->ready.size() + p->parked.size()) < p->depth ||
-               true;  // parked entries must always land to preserve order
-      });
       if (p->stop.load()) return;
       p->parked.emplace_back(idx, std::move(buf));
       // drain parked entries that are next in order
@@ -207,6 +210,13 @@ int prefetcher_next(void* handle, float* out) {
   p->cv_space.notify_all();
   std::memcpy(out, item.second.data(), p->stride * sizeof(float));
   return item.first;
+}
+
+// Outstanding (claimed-but-unconsumed) indices; bounded by `depth`.
+int prefetcher_inflight(void* handle) {
+  auto* p = static_cast<Prefetcher*>(handle);
+  std::lock_guard<std::mutex> lk(p->mu);
+  return p->produced - p->consumed;
 }
 
 void prefetcher_destroy(void* handle) {

@@ -46,6 +46,8 @@ def _load() -> ctypes.CDLL:
     lib.prefetcher_next.argtypes = [ctypes.c_void_p,
                                     np.ctypeslib.ndpointer(np.float32)]
     lib.prefetcher_next.restype = ctypes.c_int
+    lib.prefetcher_inflight.argtypes = [ctypes.c_void_p]
+    lib.prefetcher_inflight.restype = ctypes.c_int
     lib.prefetcher_destroy.argtypes = [ctypes.c_void_p]
     lib.prefetcher_destroy.restype = None
     _LIB = lib
@@ -127,6 +129,10 @@ class FloPrefetcher:
             raise StopIteration
         self._delivered += 1
         return out
+
+    def inflight(self) -> int:
+        """Claimed-but-unconsumed count; bounded by the ``depth`` argument."""
+        return int(self._lib.prefetcher_inflight(self._handle))
 
     def close(self) -> None:
         if self._handle:

@@ -67,3 +67,27 @@ class TestPrefetcher:
         pf = native.FloPrefetcher(flo_dir, depth=2, n_threads=2)
         next(pf)
         pf.close()  # must not deadlock with producers mid-flight
+
+    def test_depth_bounds_memory(self, flo_dir):
+        """A lagging consumer must not let producers run ahead: in-flight
+        (claimed-but-unconsumed) items stay <= depth even with more threads
+        than depth and a stalled consumer."""
+        import time
+
+        pf = native.FloPrefetcher(flo_dir, depth=3, n_threads=4)
+        time.sleep(0.3)  # consumer stalls; producers would race ahead
+        assert pf.inflight() <= 3
+        next(pf)
+        time.sleep(0.1)
+        assert pf.inflight() <= 3
+        # draining still delivers everything, in order
+        rest = list(pf)
+        pf.close()
+        assert len(rest) == len(flo_dir) - 1
+
+    def test_inflight_drains_to_zero(self, flo_dir):
+        pf = native.FloPrefetcher(flo_dir, depth=2, n_threads=2)
+        for _ in range(len(flo_dir)):
+            next(pf)
+        assert pf.inflight() == 0
+        pf.close()

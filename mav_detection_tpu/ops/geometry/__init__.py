@@ -3,6 +3,10 @@ from mav_detection_tpu.ops.geometry.foe import (
     foe_ransac,
     get_foe_dense,
     get_foe_sparse,
+    get_foe_sparse_traced,
+    trace_init,
+    trace_update,
+    TraceState,
     get_phi,
 )
 from mav_detection_tpu.ops.geometry.derotation import derotation_field, derotate
@@ -37,6 +41,10 @@ __all__ = [
     "foe_ransac",
     "get_foe_dense",
     "get_foe_sparse",
+    "get_foe_sparse_traced",
+    "trace_init",
+    "trace_update",
+    "TraceState",
     "get_phi",
     "derotation_field",
     "derotate",

@@ -1,4 +1,4 @@
-"""Focus-of-Expansion estimation as dense TPU reductions.
+"""Focus-of-Expansion estimation as dense TPU reductions + sparse traces.
 
 Replaces the reference's per-sample Python loops
 (``/root/reference/src/focus_of_expansion.py:32-86``) with fixed-shape
@@ -18,7 +18,7 @@ inlier radius 30 px (``focus_of_expansion.py:21-23,65``).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,6 +26,7 @@ import jax.numpy as jnp
 MAGNITUDE_THRESHOLD = 2.5
 RANSAC_THRESHOLD = 30.0
 NUM_SAMPLES = 1000
+TRACE_ROLLBACK = 20
 
 
 @jax.jit
@@ -144,6 +145,87 @@ def get_foe_sparse(points_old: jax.Array, points_new: jax.Array,
     v2 = jnp.roll(valid, 1, axis=0)
     pts, ok = line_intersections(points_new, -d, p2, -d2)
     ok = ok & valid & v2 & (jnp.linalg.norm(d, axis=-1) > 0.5)
+    pts = jnp.where(ok[..., None], pts, 0.0)
+    return foe_ransac(pts, ok, ransac_threshold)
+
+
+# ------------------------------------------------------------ trace history
+class TraceState(NamedTuple):
+    """Fixed-capacity per-track position history (functional ring buffer).
+
+    Device reformulation of the reference's LK trace lists with ``ROLLBACK``
+    frames of history (``/root/reference/src/focus_of_expansion.py:112-139``):
+    the sparse FoE intersects each track's CURRENT motion against its position
+    up to ``rollback`` frames ago — a long baseline makes the motion lines far
+    better conditioned than one-frame displacements. Tracks replaced by LK
+    replenishment restart their age; surviving tracks keep their history.
+
+    Shapes: positions (T, N, 2); alive (T, N); age (N,); head () int32.
+    """
+    positions: jax.Array
+    alive: jax.Array
+    age: jax.Array
+    head: jax.Array
+
+
+def trace_init(num_tracks: int, capacity: int = TRACE_ROLLBACK + 1) -> TraceState:
+    return TraceState(
+        positions=jnp.zeros((capacity, num_tracks, 2), jnp.float32),
+        alive=jnp.zeros((capacity, num_tracks), bool),
+        # age = frames of history available; -1 so the first push lands at 0
+        age=jnp.full((num_tracks,), -1, jnp.int32),
+        head=jnp.asarray(-1, jnp.int32),
+    )
+
+
+@jax.jit
+def trace_update(state: TraceState, points: jax.Array, valid: jax.Array,
+                 new_track: jax.Array) -> TraceState:
+    """Push one frame of track positions into the ring.
+
+    ``valid`` marks tracks alive this frame; ``new_track`` marks pool slots
+    that replenishment just re-seeded (their age restarts, severing the old
+    trace — the reference clears the trace list on replacement).
+    """
+    cap = state.positions.shape[0]
+    head = (state.head + 1) % cap
+    positions = jax.lax.dynamic_update_index_in_dim(
+        state.positions, points.astype(jnp.float32), head, 0)
+    alive = jax.lax.dynamic_update_index_in_dim(
+        state.alive, valid, head, 0)
+    age = jnp.where(new_track, 0, jnp.where(valid, state.age + 1, 0))
+    return TraceState(positions=positions, alive=alive, age=age, head=head)
+
+
+@partial(jax.jit, static_argnames=("rollback",))
+def get_foe_sparse_traced(state: TraceState,
+                          rollback: int = TRACE_ROLLBACK,
+                          ransac_threshold: float = RANSAC_THRESHOLD,
+                          min_baseline: float = 0.5) -> jax.Array:
+    """Sparse FoE from trace history: per track, intersect the motion line
+    (position ``min(rollback, age)`` frames ago -> current position) with a
+    rolled partner line, then the standard consensus vote."""
+    cap, n = state.alive.shape
+    head = state.head
+    cur = state.positions[head]                 # (N, 2)
+    cur_ok = state.alive[head]
+
+    # per-track rollback clamped by age (and ring capacity)
+    rb = jnp.minimum(jnp.minimum(state.age, rollback), cap - 1)  # (N,)
+    idx = (head - rb) % cap                     # (N,) ring index per track
+    old = jnp.take_along_axis(
+        state.positions, idx[None, :, None].astype(jnp.int32), axis=0)[0]
+    old_ok = jnp.take_along_axis(state.alive, idx[None, :], axis=0)[0]
+
+    d = cur - old
+    valid = (cur_ok & old_ok & (rb > 0)
+             & (jnp.linalg.norm(d, axis=-1) > min_baseline))
+
+    p2 = jnp.roll(cur, 1, axis=0)
+    d2 = jnp.roll(d, 1, axis=0)
+    v2 = jnp.roll(valid, 1, axis=0)
+    pts, ok = line_intersections(cur, -d, p2, -d2)
+    ok = ok & valid & v2
     pts = jnp.where(ok[..., None], pts, 0.0)
     return foe_ransac(pts, ok, ransac_threshold)
 

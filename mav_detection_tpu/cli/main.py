@@ -54,14 +54,33 @@ def execute(config: RunConfig) -> None:
 
 
 def run_all(logger: logging.Logger, args: argparse.Namespace) -> None:
-    """Validation sweep over all validation sequences (main.py:38-56)."""
+    """Validation sweep over all validation sequences (main.py:38-56).
+
+    Multi-host sharding (SURVEY §2c DCN row): sequences are embarrassingly
+    parallel across hosts — each host takes ``sequences[host_index::
+    num_hosts]`` with zero cross-host tensor traffic (per-sequence artifacts
+    land on disk; figure aggregation reads them afterwards). Set via
+    ``--host-index/--num-hosts`` or ``MAV_HOST_INDEX``/``MAV_NUM_HOSTS``
+    (e.g. per-host env in a multi-host launcher).
+    """
+    import os
+
+    num_hosts = args.num_hosts or int(os.environ.get("MAV_NUM_HOSTS", "1"))
+    host_index = (args.host_index if args.host_index is not None
+                  else int(os.environ.get("MAV_HOST_INDEX", "0")))
     settings = RunConfig(logger=logger).settings
-    for sequence in settings.get("validation_sequences", []):
+    sequences = list(settings.get("validation_sequences", []))
+    mine = sequences[host_index::max(num_hosts, 1)]
+    if num_hosts > 1:
+        logger.info(f"run-all host {host_index}/{num_hosts}: "
+                    f"{len(mine)}/{len(sequences)} sequences")
+    for sequence in mine:
         config = RunConfig(
             logger=logger, dataset=args.dataset or "MIDGARD",
             sequence=sequence, mode=str(Mode.FLOW_FOE_CLUSTERING),
             debug=True, validate=True, headless=args.headless,
-            flow_source=args.flow_source, batch_size=args.batch_size)
+            flow_source=args.flow_source, batch_size=args.batch_size,
+            devices=args.devices)
         execute(config)
 
 
@@ -92,6 +111,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="do not use UIs")
     parser.add_argument("--run-all", action="store_true",
                         help="run all configurations")
+    parser.add_argument("--num-hosts", type=int, default=0,
+                        help="shard --run-all sequences over N hosts "
+                             "(or MAV_NUM_HOSTS)")
+    parser.add_argument("--host-index", type=int, default=None,
+                        help="this host's index for --run-all sharding "
+                             "(or MAV_HOST_INDEX)")
     parser.add_argument("--data-to-yolo", action="store_true",
                         help="convert annotations to the YOLO format")
     parser.add_argument("--undistort", action="store_true",

@@ -111,6 +111,117 @@ def foe_error_histograms(results_dirs: Dict[str, str],
     return stats
 
 
+def tpr_surface_3d(run_results: Dict[float, str],
+                   out_dir: str = "media/output",
+                   kappa_bins: int = 40) -> Dict[str, np.ndarray]:
+    """3-D TPR surface over (kappa, flow magnitude) across a sweep of runs.
+
+    ``run_results`` maps each run's nominal flow magnitude (px/frame) to its
+    results directory. Per run, TPR is binned over the kappa angle (the
+    target's direction seen from the GT FoE); the binned curves stack into a
+    surface. Reproduces ``tpr_flow_vs_phi`` (reference
+    ``get_figures.py:81-115``): jet-colored surface, z in [0, 1], kappa axis
+    reversed 180 -> 0.
+    """
+    from mav_detection_tpu.eval.validator import binned_mean_std
+
+    plt = _plt()
+    create_if_not_exists(out_dir)
+    bins = np.linspace(-180, 0, kappa_bins)
+    flows = sorted(run_results)
+    Z = np.zeros((len(flows), kappa_bins))
+    x_centers = None
+    for r, f in enumerate(flows):
+        frames = load_frame_results(run_results[f])
+        phi = np.array([fr.center_phi for fr in frames], float)
+        tpr = np.array([fr.tpr for fr in frames], float)
+        curve = binned_mean_std(phi, tpr, bins)
+        if x_centers is None:
+            x_centers = bins
+        Z[r] = np.nan_to_num(curve[:, 1], nan=0.0)
+
+    X, Y = np.meshgrid(x_centers, np.asarray(flows, float))
+    fig, ax = plt.subplots(subplot_kw={"projection": "3d"})
+    from matplotlib import cm
+
+    surf = ax.plot_surface(X, Y, Z, cmap=cm.jet, linewidth=0,
+                           antialiased=False, vmax=1)
+    ax.set_zlim(0, 1)
+    ax.set_xlabel(r"$\kappa$ [deg]")
+    ax.set_ylabel("OF magnitude [px/frame]")
+    ax.set_zlabel("True Positive Rate")
+    ax.set_ylim(bottom=0)
+    ax.set_xlim(180, 0)
+    fig.colorbar(surf, shrink=0.7, aspect=10, ax=ax, pad=0.12)
+    for ext in ("png", "eps"):
+        plt.savefig(os.path.join(out_dir, f"tpr_flow_vs_phi.{ext}"),
+                    bbox_inches="tight")
+    plt.close(fig)
+    return {"kappa": x_centers, "flows": np.asarray(flows, float), "tpr": Z}
+
+
+# Published FoE-error statistics from the reference thesis (hardcoded in
+# /root/reference/src/get_figures.py:163-172) — the comparison baseline the
+# overlay figure annotates against, per flight direction.
+PUBLISHED_FOE_STATS = {
+    "center": {"mean": (2.81, -7.18), "std": (4.9, 6.4)},
+    "left": {"mean": (9.16, -7.44), "std": (9.6, 5.6)},
+    "right": {"mean": (-8.09, -2.37), "std": (6.5, 5.0)},
+}
+
+
+def foe_error_published_comparison(results_dirs: Dict[str, str],
+                                   out_dir: str = "media/output",
+                                   outlier_threshold: float = 50.0
+                                   ) -> Dict[str, Dict]:
+    """Per-direction FoE x/y error step-histograms annotated with the
+    reference's PUBLISHED means/stds (reference ``get_figures.py:144-197``):
+    two stacked subplots (x errors / y errors), one step histogram per
+    direction, legend entries carrying mean±std.
+
+    ``results_dirs`` maps direction labels (``center``/``left``/``right`` or
+    arbitrary) to results directories; measured stats are returned alongside
+    the published values so parity can be asserted numerically.
+    """
+    plt = _plt()
+    create_if_not_exists(out_dir)
+    fig, axes = plt.subplots(nrows=2, ncols=1)
+    out: Dict[str, Dict] = {}
+    edges = np.linspace(-outlier_threshold, outlier_threshold, 40)
+    for label, rdir in results_dirs.items():
+        frames = load_frame_results(rdir)
+        err = np.array([
+            [f.foe_dense[0] - f.foe_gt[0], f.foe_dense[1] - f.foe_gt[1]]
+            for f in frames if f.foe_gt is not None], float)
+        err = err[np.isfinite(err).all(axis=1)]
+        inl = err[(np.abs(err) < outlier_threshold).all(axis=1)]
+        if not len(inl):
+            continue
+        mean, std = inl.mean(0), inl.std(0)
+        pub = PUBLISHED_FOE_STATS.get(label)
+        out[label] = {"mean": mean.tolist(), "std": std.tolist(),
+                      "published": pub}
+        for k, ax in enumerate(axes):
+            leg = f"{label} ({mean[k]:.02f}$\\pm${std[k]:.01f} px)"
+            if pub:
+                leg += (f" | published {pub['mean'][k]:.02f}"
+                        f"$\\pm${pub['std'][k]:.01f}")
+            ax.hist(err[:, k], edges, histtype="step", label=leg)
+            if pub:
+                ax.axvline(pub["mean"][k], ls="--", lw=1, alpha=0.6)
+    for k, ax in enumerate(axes):
+        ax.set_xlabel(f"FoE error ({'xy'[k]}) [pixels]")
+        ax.set_ylabel("Frequency [frames]")
+        ax.grid()
+        ax.legend(fontsize=7)
+    fig.tight_layout()
+    for ext in ("png", "eps"):
+        plt.savefig(os.path.join(out_dir, f"foe-error.{ext}"),
+                    bbox_inches="tight")
+    plt.close(fig)
+    return out
+
+
 # ------------------------------------------------------------ foe_analysis
 def foe_angular_error_map(dataset, n_frames: int = 100, cap_deg: float = 43.0,
                           out_path: Optional[str] = None) -> np.ndarray:

@@ -57,6 +57,29 @@ class TestFigures:
         assert out["tpr"].shape == (1,)
         assert os.path.exists(tmp_path / "o" / "tpr_fpr_vs_flow.png")
 
+    def test_tpr_surface_3d(self, results_dir, tmp_path):
+        from mav_detection_tpu.eval.figures import tpr_surface_3d
+
+        out = tpr_surface_3d({1.0: results_dir, 3.0: results_dir},
+                             out_dir=str(tmp_path / "s"))
+        assert out["tpr"].shape == (2, 40)
+        assert (out["tpr"] >= 0).all() and (out["tpr"] <= 1).all()
+        assert os.path.exists(tmp_path / "s" / "tpr_flow_vs_phi.png")
+        assert os.path.exists(tmp_path / "s" / "tpr_flow_vs_phi.eps")
+
+    def test_foe_error_published_comparison(self, results_dir, tmp_path):
+        from mav_detection_tpu.eval.figures import (
+            PUBLISHED_FOE_STATS,
+            foe_error_published_comparison,
+        )
+
+        out = foe_error_published_comparison({"center": results_dir},
+                                             out_dir=str(tmp_path / "p"))
+        assert out["center"]["published"] == PUBLISHED_FOE_STATS["center"]
+        assert abs(out["center"]["mean"][0]) < 15
+        assert os.path.exists(tmp_path / "p" / "foe-error.png")
+        assert os.path.exists(tmp_path / "p" / "foe-error.eps")
+
     def test_angular_error_map(self, ds, tmp_path):
         out = str(tmp_path / "map.png")
         avg = foe_angular_error_map(ds, n_frames=4, out_path=out)
@@ -148,6 +171,29 @@ class TestRunAllSweep:
             '{"validation_sequences": ["synthetic/sweep-a"],'
             ' "train_sequences": [], "yolo_train_weights": {}}')
         args = argparse.Namespace(dataset="synthetic", headless=True,
-                                  flow_source="GROUND_TRUTH", batch_size=4)
+                                  flow_source="GROUND_TRUTH", batch_size=4,
+                                  devices=0, num_hosts=0, host_index=None)
         run_all(get_logger(False), args)
         assert (tmp_path / "data" / "synthetic" / "sweep-a" / "results").exists()
+
+    def test_run_all_multihost_sharding(self, tmp_path, monkeypatch):
+        """Each host takes sequences[i::n]; disjoint cover, no tensor traffic."""
+        import argparse
+
+        from mav_detection_tpu.cli import main as cli_main
+
+        monkeypatch.chdir(tmp_path)
+        (tmp_path / "settings.json").write_text(
+            '{"validation_sequences": ["s0", "s1", "s2", "s3", "s4"],'
+            ' "train_sequences": [], "yolo_train_weights": {}}')
+        seen = []
+        monkeypatch.setattr(cli_main, "execute",
+                            lambda cfg: seen.append(cfg.sequence))
+        for host in range(2):
+            args = argparse.Namespace(dataset="synthetic", headless=True,
+                                      flow_source="GROUND_TRUTH",
+                                      batch_size=4, devices=0,
+                                      num_hosts=2, host_index=host)
+            cli_main.run_all(cli_main.get_logger(False), args)
+        assert sorted(seen) == ["s0", "s1", "s2", "s3", "s4"]
+        assert seen == ["s0", "s2", "s4", "s1", "s3"]

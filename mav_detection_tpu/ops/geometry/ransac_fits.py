@@ -63,9 +63,7 @@ def _affine_lstsq(p0: jax.Array, p1: jax.Array, w: jax.Array) -> jax.Array:
     A = jnp.concatenate([p0, jnp.ones((p0.shape[0], 1), p0.dtype)], axis=1)
     Aw = A * w[:, None]
     AtA = A.T @ Aw + 1e-8 * jnp.eye(3, dtype=p0.dtype)
-    Atb = Aw.T @ p1
-    sol = jnp.linalg.solve(AtA, A.T @ (p1 * w[:, None]))
-    del Atb
+    sol = jnp.linalg.solve(AtA, Aw.T @ p1)
     return sol.T
 
 

@@ -285,12 +285,25 @@ class Processor:
                 with open(os.path.join(ds.results_path,
                                        f"image_{i:05d}.json"), "w") as f:
                     f.write(fr.to_json())
-                # debug mosaic: frame | global-motion vis | residual vis
-                frame = np.asarray(ds.get_frame(i))
+                # 2x3 debug mosaic (reference processor.py:297-300):
+                # top = frame+box | global motion | residual
+                # bottom = flow vis | global motion | cluster vis
+                frame = np.asarray(ds.get_frame(i))[..., :3].copy()
+                tl = rect.get_topleft_int()
+                br = rect.get_bottomright_int()
+                frame[max(tl[1], 0):br[1], max(tl[0], 0):tl[0] + 2] = (0, 255, 0)
+                frame[max(tl[1], 0):br[1], br[0] - 2:br[0]] = (0, 255, 0)
+                frame[max(tl[1], 0):tl[1] + 2, max(tl[0], 0):br[0]] = (0, 255, 0)
+                frame[br[1] - 2:br[1], max(tl[0], 0):br[0]] = (0, 255, 0)
                 gm_vis = flow_to_color(np.asarray(gm))
                 res_vis = flow_to_color(np.asarray(residual))
-                mosaic = np.hstack([frame[..., :3], gm_vis, res_vis])
-                imwrite(os.path.join(out_dir, f"image_{i:05d}.png"), mosaic)
+                flow_vis = flow_to_color(np.asarray(flow))
+                cluster_vis = to_rgb(np.asarray(
+                    255.0 * quant / jnp.maximum(jnp.max(quant), 1e-6)))
+                top = np.hstack([frame, gm_vis, res_vis])
+                bottom = np.hstack([flow_vis, gm_vis, cluster_vis])
+                imwrite(os.path.join(out_dir, f"image_{i:05d}.png"),
+                        np.vstack([top, bottom]))
         return self.detection_results
 
     def run_detection_foe(self) -> Dict[int, FrameResult]:

@@ -117,9 +117,25 @@ def train_raft(steps: int = 4000, batch: int = 8,
             body, (params, opt_state, key), None, length=nsteps)
         return params, opt_state, key, losses
 
+    from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
+    from mav_detection_tpu.models.raft import raft_flow
+
+    sel_ds = SyntheticDataset(params=SyntheticParams(
+        seed=782, n_frames=4, foe=(140.0, 150.0), expansion=0.013,
+        drone_start=(230.0, 90.0), drone_velocity=(-3.0, 2.5)))
+
+    def selector(p):
+        epes = []
+        for i in range(sel_ds.N - 1):
+            fl = np.asarray(raft_flow(p, jnp.asarray(sel_ds.get_frame(i)),
+                                      jnp.asarray(sel_ds.get_frame(i + 1)),
+                                      iters=iters))
+            epes.append(np.linalg.norm(fl - sel_ds.flows[i], axis=-1).mean())
+        return -float(np.mean(epes))  # higher is better
+
     params, losses = _scan_chunks(run_chunk, params, opt_state,
                                   jax.random.PRNGKey(seed + 1), steps, chunk,
-                                  "raft")
+                                  "raft", selector=selector)
     return params, losses
 
 

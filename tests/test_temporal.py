@@ -1,0 +1,90 @@
+"""Temporal scan engine + chunked-video sharding (SURVEY §5 long-context).
+
+Conftest forces an 8-device CPU mesh, so the chunked path runs real
+shard_map + ppermute halo exchange.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
+from mav_detection_tpu.ops.flow.farneback import FarnebackParams
+from mav_detection_tpu.parallel import make_mesh
+from mav_detection_tpu.pipeline.detector import DetectionStep
+from mav_detection_tpu.pipeline.temporal import (
+    detect_sequence_scan,
+    detect_video_chunked,
+)
+
+PARAMS = FarnebackParams(warp="separable", fast=True, max_shift=8)
+CONFIG = DetectionStep(foe_samples=256)
+
+
+@pytest.fixture(scope="module")
+def seq():
+    ds = SyntheticDataset(params=SyntheticParams(
+        height=96, width=128, n_frames=16, expansion=0.02, foe=(70.0, 45.0)))
+    T = ds.N
+    gray = np.stack([
+        np.asarray(ds.get_frame(i), np.float32)[..., 0] for i in range(T)])
+    omegas = np.stack([
+        np.asarray(ds.get_angular_difference(max(i - 1, 0), i), np.float64)
+        / ds.params.dt for i in range(T)]).astype(np.float32)
+    dts = np.full((T,), ds.params.dt, np.float32)
+    segs = np.stack([np.asarray(ds.get_segmentation(i))[..., 0]
+                     for i in range(T)])
+    skys = np.stack([np.asarray(ds.get_sky_segmentation(i)) for i in range(T)])
+    depths = np.stack([np.asarray(ds.get_depth(i), np.float32)
+                       for i in range(T)])
+    foes = np.stack([np.asarray(ds.get_gt_foe(i), np.float32)
+                     for i in range(T)])
+    return tuple(map(jnp.asarray, (gray, omegas, dts, segs, skys, depths,
+                                   foes)))
+
+
+class TestSequenceScan:
+    def test_scan_produces_per_transition_outputs(self, seq):
+        frames = seq[0]
+        scal, history = detect_sequence_scan(
+            *seq, jax.random.PRNGKey(0), params=PARAMS, config=CONFIG,
+            history_len=4)
+        T = frames.shape[0]
+        assert scal.foe.shape == (T - 1, 2)
+        assert np.isfinite(np.asarray(scal.foe)).all()
+        # FoE should localize near GT on the expanding scene (median over time)
+        err = np.linalg.norm(np.asarray(scal.foe) - np.array([70.0, 45.0]),
+                             axis=-1)
+        assert np.median(err) < 25.0
+        assert history.buffer.shape == (4, 96, 128, 2)
+        # the history holds real flow (nonzero), index wrapped correctly
+        assert float(jnp.abs(history.buffer).max()) > 0.1
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_chunked_matches_scan(self, seq):
+        """Chunked sharding over 8 devices must reproduce the serial scan's
+        transitions exactly (same flow pairs, same keys modulo sampling —
+        compare the deterministic metrics, not the stochastic FoE)."""
+        mesh = make_mesh(8)
+        scal_chunked = detect_video_chunked(
+            mesh, *seq, jax.random.PRNGKey(0), params=PARAMS, config=CONFIG)
+        scal_serial, _ = detect_sequence_scan(
+            *seq, jax.random.PRNGKey(0), params=PARAMS, config=CONFIG)
+        assert scal_chunked.tpr.shape == scal_serial.tpr.shape
+        # keys derive from the global transition index in BOTH paths, so the
+        # chunked result — including the halo-exchanged boundary transitions
+        # — matches the serial scan bit-for-bit (up to fp reduction order)
+        np.testing.assert_allclose(np.asarray(scal_chunked.foe),
+                                   np.asarray(scal_serial.foe), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(scal_chunked.tpr),
+                                   np.asarray(scal_serial.tpr), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(scal_chunked.sky_tpr),
+                                   np.asarray(scal_serial.sky_tpr), atol=1e-5)
+
+    @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    def test_chunked_rejects_indivisible(self, seq):
+        mesh = make_mesh(8)
+        with pytest.raises(ValueError):
+            detect_video_chunked(mesh, seq[0][:10], *seq[1:],
+                                 jax.random.PRNGKey(0))

@@ -233,7 +233,29 @@ class Processor:
         """Homography-branch detection (reference processor.py:286-303):
         fit transform on sampled flow, synthesize + subtract global motion,
         cluster the residual magnitude, box-search the brightest window, and
-        report IoU against the ground-truth annotation."""
+        report IoU against the ground-truth annotation. Flow computes in
+        device batches; the fit/cluster/box stages run per frame."""
+        ds = self.dataset
+        h, w = ds.capture_shape[:2]
+        rng = np.random.default_rng(0)
+        border = 20
+        key = jax.random.PRNGKey(0)
+
+        out_dir = os.path.join(ds.seq_path, "processed") if ds.seq_path else ""
+        if out_dir:
+            create_if_not_exists(out_dir)
+            create_if_not_exists(ds.results_path)
+
+        for b0 in range(0, ds.N - 1, self.batch_size):
+            batch_idx = list(range(b0, min(b0 + self.batch_size, ds.N - 1)))
+            flows = self._flow_batch(batch_idx)
+            self._homography_frame_batch(
+                ds, batch_idx, flows, rng, border, h, w, key, out_dir)
+            key = jax.random.fold_in(key, b0)
+        return self.detection_results
+
+    def _homography_frame_batch(self, ds, batch_idx, flows, rng, border,
+                                h, w, key, out_dir) -> None:
         from mav_detection_tpu.core.rectangle import Rectangle
         from mav_detection_tpu.ops.geometry import (
             fit_homography_lstsq,
@@ -246,19 +268,8 @@ class Processor:
         )
         from mav_detection_tpu.ops.geometry.kmeans import cluster_image
 
-        ds = self.dataset
-        h, w = ds.capture_shape[:2]
-        rng = np.random.default_rng(0)
-        border = 20
-        key = jax.random.PRNGKey(0)
-
-        out_dir = os.path.join(ds.seq_path, "processed") if ds.seq_path else ""
-        if out_dir:
-            create_if_not_exists(out_dir)
-            create_if_not_exists(ds.results_path)
-
-        for i in range(ds.N - 1):
-            flow = self._flow_batch([i])[0]
+        for j, i in enumerate(batch_idx):
+            flow = np.asarray(flows[j])
             sy = rng.integers(border, h - border, 1000)
             sx = rng.integers(border, w - border, 1000)
             p0 = np.stack([sx, sy], 1).astype(np.float32)
@@ -304,7 +315,6 @@ class Processor:
                 bottom = np.hstack([flow_vis, gm_vis, cluster_vis])
                 imwrite(os.path.join(out_dir, f"image_{i:05d}.png"),
                         np.vstack([top, bottom]))
-        return self.detection_results
 
     def run_detection_foe(self) -> Dict[int, FrameResult]:
         ds = self.dataset

@@ -41,7 +41,8 @@ def _gray3(img: jax.Array) -> jax.Array:
 
 
 def _scan_chunks(run_chunk, params, opt_state, key, steps: int,
-                 chunk: int, label: str, selector=None):
+                 chunk: int, label: str, selector=None,
+                 select_every: int = 1):
     """Drive jitted scan-chunks, logging loss once per chunk.
 
     ``selector(params) -> float`` scores candidate weights on a held-out
@@ -53,6 +54,7 @@ def _scan_chunks(run_chunk, params, opt_state, key, steps: int,
     t0 = time.time()
     all_losses = []
     done = 0
+    n_chunks = 0
     best_score = -np.inf
     best_params = params
     while done < steps:
@@ -61,9 +63,11 @@ def _scan_chunks(run_chunk, params, opt_state, key, steps: int,
         losses = np.asarray(losses)
         all_losses.append(losses)
         done += n
+        n_chunks += 1
         msg = (f"[{label}] step {done}/{steps} loss {losses[-10:].mean():.4f} "
                f"({done / max(time.time() - t0, 1e-9):.1f} steps/s)")
-        if selector is not None:
+        if selector is not None and (n_chunks % select_every == 0
+                                     or done >= steps):
             score = selector(params)
             if score > best_score:
                 best_score = score
@@ -133,9 +137,13 @@ def train_raft(steps: int = 4000, batch: int = 8,
             epes.append(np.linalg.norm(fl - sel_ds.flows[i], axis=-1).mean())
         return -float(np.mean(epes))  # higher is better
 
+    # NOTE: the remote TPU worker kills single XLA programs running longer
+    # than ~1 minute (watchdog); at ~0.7 s/step the scan chunk must stay
+    # well under ~80 steps. Keep chunks small and select sparsely.
     params, losses = _scan_chunks(run_chunk, params, opt_state,
                                   jax.random.PRNGKey(seed + 1), steps, chunk,
-                                  "raft", selector=selector)
+                                  "raft", selector=selector,
+                                  select_every=10)
     return params, losses
 
 

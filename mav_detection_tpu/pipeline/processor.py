@@ -67,7 +67,9 @@ class Processor:
         self._stage_host_seconds = 0.0
         self.frame_step_size = 1
         self.is_exiting = False
-        self._farneback = FarnebackParams()
+        # auto = separable shifted-sum warp with a data-dependent fallback to
+        # the exact gather when motion exceeds max_shift coverage
+        self._farneback = FarnebackParams(warp="auto", fast=True)
         self.tracer = Tracer()
         # write per-frame debug images (result/derotated/phi/overlay); JSON
         # results are always written. Disable for throughput runs.

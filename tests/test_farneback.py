@@ -150,3 +150,48 @@ class TestSeparableWarp:
         sep = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr),
                                         FarnebackParams(warp="separable")))
         assert np.linalg.norm(auto - sep, axis=-1).max() < 1e-4
+
+    def test_pyramid_required_for_large_nonuniform_motion(self):
+        """The Jacobi solver shares cv2's fixed point but not its convergence
+        basin: cv2's Gauss-Seidel row sweep converges from zero init at
+        levels=1 even for ~6 px motion, our Jacobi sweep does not. The
+        PRODUCT default (levels=3, Processor.__init__/bench.py) must land on
+        the cv2-at-reference-spec solution; single-level must measurably
+        diverge on the same scene (that divergence is why the default has a
+        pyramid). Scene: radial expansion about an off-center FoE (spatially
+        varying flow, ~9 px at the far corner)."""
+        h, w = 240, 376
+        rng = np.random.default_rng(21)
+        base = cv2.GaussianBlur(rng.random((h, w)).astype(np.float32),
+                                (0, 0), 1.5) * 255
+        xs, ys = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        foe = (150.0, 95.0)
+        flow = 0.04 * np.stack([xs - foe[0], ys - foe[1]], axis=-1)
+        inv = flow.copy()
+        for _ in range(4):
+            fx = cv2.remap(flow[..., 0], xs - inv[..., 0], ys - inv[..., 1],
+                           cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
+            fy = cv2.remap(flow[..., 1], xs - inv[..., 0], ys - inv[..., 1],
+                           cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
+            inv = np.stack([fx, fy], axis=-1)
+        curr = cv2.remap(base, xs - inv[..., 0], ys - inv[..., 1],
+                         cv2.INTER_LINEAR, borderMode=cv2.BORDER_REPLICATE)
+        prev8 = np.clip(base, 0, 255).astype(np.uint8)
+        curr8 = np.clip(curr, 0, 255).astype(np.uint8)
+
+        ref = cv2.calcOpticalFlowFarneback(prev8, curr8, None,
+                                           0.4, 1, 12, 10, 8, 1.2, 0)
+        a, b = jnp.asarray(prev8), jnp.asarray(curr8)
+        l3 = np.asarray(farneback_flow(a, b, FarnebackParams(
+            levels=3, pyr_scale=0.5, warp="auto", fast=True)))
+        l1 = np.asarray(farneback_flow(a, b, FarnebackParams(
+            levels=1, warp="auto", fast=True)))
+        err_l3 = np.linalg.norm(l3 - ref, axis=-1)[INNER].mean()
+        err_l1 = np.linalg.norm(l1 - ref, axis=-1)[INNER].mean()
+        assert err_l3 < 0.15, err_l3
+        assert err_l1 > 3 * err_l3, (err_l1, err_l3)
+        # and accuracy vs the analytic GT matches the oracle's own
+        gt_err = np.linalg.norm(l3 - flow, axis=-1)[INNER].mean()
+        cv2_err = np.linalg.norm(ref - flow, axis=-1)[INNER].mean()
+        assert gt_err < cv2_err + 0.1, (gt_err, cv2_err)

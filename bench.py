@@ -228,15 +228,19 @@ def main() -> None:
     ours_ms_1 = tpu_ms_per_frame(prev8, curr8, 1)
     epe_cv2, epe_gt = epe_check(prev8, curr8, gt_flow)
 
-    fps = 1e3 / ours_ms_b
+    fps_b = 1e3 / ours_ms_b
     fps1 = 1e3 / ours_ms_1
+    # headline = the faster configuration (batch is for DP sharding, not a
+    # throughput win per se — see PERF.md "Batching"); both are in the metric
+    fps = max(fps_b, fps1)
+    best = f"batch={BATCH}" if fps_b >= fps1 else "single-stream"
     baseline_fps = 1e3 / baseline_ms if baseline_ms == baseline_ms else float("nan")
     vs = fps / baseline_fps if baseline_fps == baseline_fps else float("nan")
     print(json.dumps({
         "metric": ("flow+detect throughput @752x480, non-uniform flow "
                    f"(max {max_disp:.1f}px; EPE vs cv2 {epe_cv2:.4f}px, vs GT "
-                   f"{epe_gt:.3f}px; warp={_params().warp}; batch={BATCH}, "
-                   f"single-stream {fps1:.1f} fps)"),
+                   f"{epe_gt:.3f}px; warp={_params().warp}; best={best}, "
+                   f"batch{BATCH} {fps_b:.1f} fps, single {fps1:.1f} fps)"),
         "value": round(fps, 2),
         "unit": "frames/sec/chip",
         "vs_baseline": round(vs, 2),

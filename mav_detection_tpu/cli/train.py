@@ -395,6 +395,8 @@ def main(argv=None) -> None:
                         help="HxW training resolution override, e.g. 240x320")
     parser.add_argument("--drone-weight", type=float, default=40.0,
                         help="loss upweight inside the (dilated) drone mask")
+    parser.add_argument("--lr", type=float, default=0.0,
+                        help="override peak LR (e.g. lower it when resuming)")
     parser.add_argument("--eval-only", action="store_true")
     parser.add_argument("--resume", action="store_true",
                         help="initialize from the existing checkpoint")
@@ -415,6 +417,8 @@ def main(argv=None) -> None:
             if args.hw:
                 h, w = args.hw.lower().split("x")
                 kw["hw"] = (int(h), int(w))
+            if args.lr:
+                kw["peak_lr"] = args.lr
             params, _ = train_raft(steps=args.steps or 4000, batch=args.batch,
                                    chunk=args.chunk, seed=args.seed,
                                    init_params=init,

@@ -207,9 +207,15 @@ class Processor:
         if src == FlowSource.RAFT:
             from mav_detection_tpu.models.raft import raft_flow_batch
 
-            prevs = np.stack([ds.get_frame(i) for i in indices])
-            currs = np.stack([ds.get_frame(i + 1) for i in indices])
-            return np.asarray(raft_flow_batch(jnp.asarray(prevs), jnp.asarray(currs)))
+            prevs = jnp.asarray(np.stack([ds.get_frame(i) for i in indices]))
+            currs = jnp.asarray(np.stack([ds.get_frame(i + 1) for i in indices]))
+            if self.mesh is not None and len(indices) % self.mesh.devices.size == 0:
+                from mav_detection_tpu.parallel import shard_frame_batch
+
+                # data-parallel net inference: batch axis sharded, params
+                # replicated (GSPMD partitions the vmapped apply)
+                prevs, currs = shard_frame_batch(self.mesh, prevs, currs)
+            return np.asarray(raft_flow_batch(prevs, currs))
         raise ValueError(f"unsupported flow source {src}")
 
     def _detect_sharded(self, detect_fn, args, nb: int):

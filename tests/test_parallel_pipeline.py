@@ -55,3 +55,26 @@ class TestShardedProcessor:
         res, proc = _run(devices=8, n_frames=6, batch_size=4)  # 5 pairs
         assert len(res) == 5
         assert proc.batch_size == 8  # raised to the mesh size
+
+    def test_raft_flow_source_shards_over_mesh(self):
+        """--flow-source RAFT with --devices: net inference runs data-
+        parallel (batch sharded, params replicated) and matches the
+        unsharded flow bit-for-bit."""
+        from mav_detection_tpu.models.raft import raft_flow_batch
+        from mav_detection_tpu.parallel import make_mesh, shard_frame_batch
+
+        rng = np.random.default_rng(3)
+        # /8 stride + 4 corr-pyramid levels need >= 64x96 images
+        prevs = np.asarray(rng.random((8, 64, 96, 3)) * 255, np.float32)
+        currs = np.asarray(rng.random((8, 64, 96, 3)) * 255, np.float32)
+        import jax.numpy as jnp
+
+        plain = np.asarray(raft_flow_batch(jnp.asarray(prevs),
+                                           jnp.asarray(currs), iters=2))
+        mesh = make_mesh(8)
+        ps, cs = shard_frame_batch(mesh, jnp.asarray(prevs),
+                                   jnp.asarray(currs))
+        sharded = np.asarray(raft_flow_batch(ps, cs, iters=2))
+        # GSPMD may pick different conv algorithms per sharding; flow agrees
+        # to well under any detection-relevant scale (atol in px)
+        np.testing.assert_allclose(sharded, plain, atol=0.02)

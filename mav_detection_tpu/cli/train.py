@@ -55,8 +55,14 @@ def _scan_chunks(run_chunk, params, opt_state, key, steps: int,
     all_losses = []
     done = 0
     n_chunks = 0
-    best_score = -np.inf
+    # Seed the bar with the INITIAL weights' score: when resuming from a
+    # checkpoint, the early (re-warmed-LR) chunks usually score worse than
+    # the resumed weights, and with best_score=-inf the first selector call
+    # would persist that regression over the checkpoint file.
+    best_score = selector(params) if selector is not None else -np.inf
     best_params = params
+    if selector is not None:
+        logger.info(f"[{label}] initial holdout {best_score:.4f}")
     while done < steps:
         n = min(chunk, steps - done)
         params, opt_state, key, losses = run_chunk(params, opt_state, key, n)

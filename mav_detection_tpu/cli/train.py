@@ -206,6 +206,47 @@ def eval_raft(params, n_pairs: int = 12,
     return float(np.mean(epes)), float(np.mean(depes or [0.0]))
 
 
+def eval_raft_detection(params, n_pairs: int = 8,
+                        iters: int = 12) -> Tuple[float, float]:
+    """(RAFT-flow TPR, GT-flow TPR): run the full fixed-threshold detection
+    step (derotation -> FoE -> phi -> masks) on the held-out fixture with the
+    net's flow vs the analytic ground-truth flow. VERDICT r1 gate: the two
+    TPRs within 5% — the net is a *component* only if the downstream detector
+    can't tell it apart from truth (reference consumes FlowNet2 the same way,
+    ``/root/reference/src/datasets/dataset.py:116-123``)."""
+    from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
+    from mav_detection_tpu.models.raft import raft_flow
+    from mav_detection_tpu.pipeline.detector import DetectionStep, detect_frame_pair
+
+    ds = SyntheticDataset(params=SyntheticParams(seed=777, n_frames=n_pairs + 1,
+                                                 foe=(150.0, 130.0),
+                                                 expansion=0.015,
+                                                 drone_start=(220.0, 80.0),
+                                                 drone_velocity=(-3.5, 2.0)))
+    config = DetectionStep(foe_samples=512)
+    tprs = {"raft": [], "gt": []}
+    for i in range(n_pairs):
+        img1 = jnp.asarray(ds.get_frame(i))
+        img2 = jnp.asarray(ds.get_frame(i + 1))
+        flows = {"raft": raft_flow(params, img1, img2, iters=iters),
+                 "gt": jnp.asarray(ds.flows[i])}
+        common = (
+            jnp.asarray(ds.get_angular_difference(i, i + 1)
+                        / ds.get_delta_time(i + 1), jnp.float32),
+            jnp.asarray(ds.get_delta_time(i + 1), jnp.float32),
+            jnp.asarray(ds.get_segmentation(i)[..., 0]),
+            jnp.asarray(ds.get_sky_segmentation(i)),
+            jnp.asarray(ds.get_depth(i), jnp.float32),
+            jnp.asarray(ds.get_gt_foe(i), jnp.float32),
+            jax.random.PRNGKey(i),
+        )
+        for name, fl in flows.items():
+            out = detect_frame_pair(fl, jnp.zeros_like(fl), *common,
+                                    config=config)
+            tprs[name].append(float(out.tpr_fixed))
+    return float(np.mean(tprs["raft"])), float(np.mean(tprs["gt"]))
+
+
 # -------------------------------------------------------------------- sky
 def train_sky(steps: int = 1500, batch: int = 8,
               hw: Tuple[int, int] = (240, 320), peak_lr: float = 1e-3,
@@ -435,6 +476,10 @@ def main(argv=None) -> None:
         epe, depe = eval_raft(params)
         logger.info(f"[raft] held-out fixture EPE: {epe:.4f} px (gate < 0.5), "
                     f"drone-region EPE {depe:.4f} px")
+        rtpr, gtpr = eval_raft_detection(params)
+        logger.info(f"[raft] detection TPR (fixed threshold): RAFT flow "
+                    f"{rtpr:.4f} vs GT flow {gtpr:.4f} "
+                    f"(gate: within 0.05)")
 
     if "sky" in wanted:
         if args.eval_only:

@@ -64,6 +64,11 @@ class FarnebackParams:
     #                 exceeds the separable warp's max_shift coverage.
     warp: str = "gather"
     max_shift: int = 16
+    # Pallas row-band height (rounded up to a multiple of 8 inside the
+    # kernel). Taller bands amortize the ±(max_shift+1+winsize/2) row halo
+    # over more output rows but grow the VMEM working set; the sweet spot
+    # depends on max_shift (see PERF.md "Pallas kernel tuning").
+    band_rows: int = 8
 
 
 # ----------------------------------------------------------------- helpers
@@ -478,7 +483,7 @@ def _farneback_hwb(prev: jax.Array, curr: jax.Array,
                 jnp.transpose(R1, (2, 3, 0, 1)),
                 jnp.transpose(flow, (2, 3, 0, 1)), border,
                 iterations=params.iterations, winsize=params.winsize,
-                max_shift=params.max_shift,
+                max_shift=params.max_shift, band_rows=params.band_rows,
                 interpret=jax.default_backend() == "cpu")
             flow = jnp.transpose(flow_cf, (2, 3, 0, 1))
             continue

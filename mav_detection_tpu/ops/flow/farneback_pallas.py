@@ -63,22 +63,34 @@ def _stack_bands(x: jax.Array, th: int, halo: int, axis_h: int) -> jax.Array:
     return jnp.stack(bands, axis=axis_h)
 
 
+def _stack_tiles(x: jax.Array, th: int, tw: int, halo_r: int,
+                 halo_c: int) -> jax.Array:
+    """(…, H, W) -> (…, nbands, nctiles, th + 2*halo_r, tw + 2*halo_c):
+    overlapping 2-D tiles so wide frames (e.g. AirSim 1920x1024) keep the
+    per-block VMEM working set bounded regardless of W."""
+    xb = _stack_bands(x, th, halo_r, x.ndim - 2)
+    xt = _stack_bands(xb, tw, halo_c, xb.ndim - 1)
+    return jnp.moveaxis(xt, -2, -3)
+
+
 def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
-                       *, th: int, H: int, W: int, S: int, m: int,
+                       *, th: int, tw: int, H: int, W: int, S: int, m: int,
                        inv_win2: float):
-    """One Farneback iteration for one (batch, band) grid step."""
+    """One Farneback iteration for one (batch, band, coltile) grid step."""
     P = S + 1 + m
     band = pl.program_id(1)
+    tile = pl.program_id(2)
     row_base = band * th - m          # absolute row of flow/M plane row 0
+    cbase_m = tile * tw - m           # absolute col of M plane col 0
 
     mrows = th + 2 * m                # rows of the flow / M / A regions
-    mcols = W + 2 * m                 # cols of the M region
-    acols = W + 2 * m + 2 * S + 1     # cols of the A region
+    mcols = tw + 2 * m                # cols of the M region
+    acols = tw + 2 * m + 2 * S + 1    # cols of the A region
     o_f = P - m                       # plane-col offset of the M region
     o_a = P - m - S                   # plane-col offset of the A region
 
-    dx = flow_ref[0, 0, 0]            # (mrows, W + 2P)
-    dy = flow_ref[0, 1, 0]
+    dx = flow_ref[0, 0, 0, 0]         # (mrows, tw + 2P)
+    dy = flow_ref[0, 1, 0, 0]
 
     # Coordinates are CLAMPED to the image for the weight computation: a
     # virtual (halo) position then reproduces its edge pixel's fractional
@@ -88,9 +100,10 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
     # Mosaic iota is integer-only; cast after (float iota fails verification)
     y_abs = (row_base
              + jax.lax.broadcasted_iota(
-                 jnp.int32, (mrows, W + 2 * P), 0)).astype(jnp.float32)
-    x_abs = (jax.lax.broadcasted_iota(jnp.int32, (mrows, W + 2 * P), 1)
-             - P).astype(jnp.float32)
+                 jnp.int32, (mrows, tw + 2 * P), 0)).astype(jnp.float32)
+    x_abs = (tile * tw - P
+             + jax.lax.broadcasted_iota(
+                 jnp.int32, (mrows, tw + 2 * P), 1)).astype(jnp.float32)
     y_eff = jnp.clip(y_abs, 0, H - 1)
     x_eff = jnp.clip(x_abs, 0, W - 1)
     fx_t = x_eff + dx
@@ -105,7 +118,7 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
     sy = jnp.clip(y1 - y_eff, -S, S)
     sx = jnp.clip(x1 - x_eff, -S, S)
 
-    slabs = [slab_ref[0, c, 0] for c in range(5)]   # (th + 2P, W + 2P) each
+    slabs = [slab_ref[0, c, 0, 0] for c in range(5)]  # (th + 2P, tw + 2P)
 
     # ---- y-stage: A[c][j, a] = (1-fy) R1[y+sy, x] + fy R1[y+sy+1, x]
     fy_a = jax.lax.slice(fy, (0, o_a), (mrows, o_a + acols))
@@ -134,10 +147,10 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
                                               (mrows, col0 + mcols))
 
     def r0_plane(c):
-        return jax.lax.slice(r0_ref[0, c, 0], (o_f, o_f),
+        return jax.lax.slice(r0_ref[0, c, 0, 0], (o_f, o_f),
                              (o_f + mrows, o_f + mcols))
 
-    bmap = jax.lax.slice(border_ref[0], (o_f, o_f),
+    bmap = jax.lax.slice(border_ref[0, 0], (o_f, o_f),
                          (o_f + mrows, o_f + mcols))
     r4 = (r0_plane(2) + r[2]) * 0.5
     r5 = (r0_plane(3) + r[3]) * 0.5
@@ -161,11 +174,16 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
     # instead of the garbage the warp produces at virtual coordinates.
     row_abs = (row_base
                + jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 0))
-    col_abs = (jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1) - m)
-    # Mosaic has no dynamic_slice: extract the bottom edge row (abs H-1, only
-    # needed when this band overhangs the image) as a masked row reduction.
+    col_abs = (cbase_m
+               + jax.lax.broadcasted_iota(jnp.int32, (mrows, mcols), 1))
+    # Mosaic has no dynamic_slice: extract the bottom/right edge (abs H-1 /
+    # W-1, only needed when this band/tile overhangs the image) as masked
+    # reductions. The top/left static slices are exact for band/tile 0 and
+    # dead (the where() never selects them) for all others.
     bot_mask = (row_abs == jnp.clip(H - 1 - row_base, 0, mrows - 1)
                 + row_base).astype(jnp.float32)
+    right_mask = (col_abs == jnp.clip(W - 1 - cbase_m, 0, mcols - 1)
+                  + cbase_m).astype(jnp.float32)
     for c in range(5):
         mc = M[c]
         top = jax.lax.slice(mc, (m, 0), (m + 1, mcols))           # abs row 0
@@ -174,7 +192,7 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
         mc = jnp.where(row_abs <= H - 1, mc, bottom)
         left = jax.lax.slice(mc, (0, m), (mrows, m + 1))          # abs col 0
         mc = jnp.where(col_abs >= 0, mc, left)
-        right = jax.lax.slice(mc, (0, W + m - 1), (mrows, W + m))
+        right = jnp.sum(mc * right_mask, axis=1, keepdims=True)
         M[c] = jnp.where(col_abs <= W - 1, mc, right)
 
     # ---- (2m+1)^2 box blur (shifted-sum form) + 2x2 solve
@@ -184,9 +202,9 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
         v = jnp.zeros((th, mcols), jnp.float32)
         for d in range(taps):
             v = v + jax.lax.slice(M[c], (d, 0), (d + th, mcols))
-        hsum = jnp.zeros((th, W), jnp.float32)
+        hsum = jnp.zeros((th, tw), jnp.float32)
         for d in range(taps):
-            hsum = hsum + jax.lax.slice(v, (0, d), (th, d + W))
+            hsum = hsum + jax.lax.slice(v, (0, d), (th, d + tw))
         Mb.append(hsum * inv_win2)
 
     g11, g12, g22, h1, h2 = Mb
@@ -198,7 +216,7 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "winsize", "max_shift", "band_rows",
-                     "interpret"))
+                     "tile_cols", "interpret"))
 def farneback_iterate_pallas(
     R0cf: jax.Array,            # (b, 5, H, W) channel-first coefficients
     R1cf: jax.Array,            # (b, 5, H, W)
@@ -208,9 +226,17 @@ def farneback_iterate_pallas(
     winsize: int = 12,
     max_shift: int = 16,
     band_rows: int = 8,
+    tile_cols: int = 0,
     interpret: bool = False,
 ) -> jax.Array:
-    """Run ``iterations`` fused Farneback iterations; returns (b, 2, H, W)."""
+    """Run ``iterations`` fused Farneback iterations; returns (b, 2, H, W).
+
+    ``tile_cols`` splits the frame into column tiles of that width (0 = auto:
+    whole width up to 1024, then the narrowest split with tiles <= 896). The
+    per-block working set scales with the tile width, not W, so wide frames
+    (AirSim's 1920x1024 — SURVEY §2a image resolutions) stay inside the
+    ~16 MB VMEM; each tile pays a 2*(S+1+winsize/2)-column halo recompute.
+    """
     b, _, H, W = R0cf.shape
     S = max_shift
     m = winsize // 2
@@ -221,34 +247,42 @@ def farneback_iterate_pallas(
     th = -(-min(band_rows, H) // 8) * 8
     nbands = -(-H // th)
     Hp = nbands * th  # Pallas clamps (not masks) ragged blocks: pad instead
+    if tile_cols:
+        tw = min(tile_cols, W)
+    elif W <= 1024:
+        tw = W
+    else:
+        nct = -(-W // 896)
+        tw = -(-W // nct)
+    nctiles = -(-W // tw)
+    Wp = nctiles * tw
 
-    # loop-invariant banded operands (built once, reused every iteration)
-    pad_w = [(0, 0), (0, 0), (0, 0), (P, P)]
-    slab = _stack_bands(jnp.pad(R1cf, pad_w, mode="edge"), th, P, 2)
-    r0b = _stack_bands(jnp.pad(R0cf, pad_w, mode="edge"), th, P, 2)
-    borb = _stack_bands(jnp.pad(border, [(0, 0), (P, P)], mode="edge"),
-                        th, P, 0)
+    # loop-invariant tiled operands (built once, reused every iteration)
+    slab = _stack_tiles(R1cf, th, tw, P, P)
+    r0b = _stack_tiles(R0cf, th, tw, P, P)
+    borb = _stack_tiles(border, th, tw, P, P)
 
     kern = functools.partial(
-        _fused_iter_kernel, th=th, H=H, W=W, S=S, m=m,
+        _fused_iter_kernel, th=th, tw=tw, H=H, W=W, S=S, m=m,
         inv_win2=1.0 / (winsize * winsize))
 
     bandspec5 = pl.BlockSpec(
-        (1, 5, 1, th + 2 * P, W + 2 * P),
-        lambda i, j: (i, 0, j, 0, 0), memory_space=pltpu.VMEM)
+        (1, 5, 1, 1, th + 2 * P, tw + 2 * P),
+        lambda i, j, t: (i, 0, j, t, 0, 0), memory_space=pltpu.VMEM)
     borspec = pl.BlockSpec(
-        (1, th + 2 * P, W + 2 * P),
-        lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM)
+        (1, 1, th + 2 * P, tw + 2 * P),
+        lambda i, j, t: (j, t, 0, 0), memory_space=pltpu.VMEM)
     flowspec = pl.BlockSpec(
-        (1, 2, 1, th + 2 * m, W + 2 * P),
-        lambda i, j: (i, 0, j, 0, 0), memory_space=pltpu.VMEM)
+        (1, 2, 1, 1, th + 2 * m, tw + 2 * P),
+        lambda i, j, t: (i, 0, j, t, 0, 0), memory_space=pltpu.VMEM)
     outspec = pl.BlockSpec(
-        (1, 2, th, W), lambda i, j: (i, 0, j, 0), memory_space=pltpu.VMEM)
+        (1, 2, th, tw), lambda i, j, t: (i, 0, j, t),
+        memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((b, 2, Hp, W), jnp.float32),
-        grid=(b, nbands),
+        out_shape=jax.ShapeDtypeStruct((b, 2, Hp, Wp), jnp.float32),
+        grid=(b, nbands, nctiles),
         in_specs=[flowspec, bandspec5, bandspec5, borspec],
         out_specs=outspec,
         interpret=interpret,
@@ -256,8 +290,6 @@ def farneback_iterate_pallas(
 
     flow = flow0
     for _ in range(iterations):
-        flowb = _stack_bands(
-            jnp.pad(flow, [(0, 0), (0, 0), (0, 0), (P, P)], mode="edge"),
-            th, m, 2)
-        flow = call(flowb, slab, r0b, borb)[:, :, :H]
+        flowb = _stack_tiles(flow, th, tw, m, P)
+        flow = call(flowb, slab, r0b, borb)[:, :, :H, :W]
     return flow

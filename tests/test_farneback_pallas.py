@@ -102,6 +102,38 @@ class TestFusedIteration:
             np.testing.assert_allclose(np.asarray(out)[k],
                                        np.asarray(single)[0], atol=1e-4)
 
+    def test_column_tiling_matches_whole_width(self):
+        """tile_cols splits (incl. a ragged last tile) must reproduce the
+        whole-width kernel exactly — the P-column halo covers every slab
+        read the warp can make, so per-tile math is identical."""
+        prev8, curr8 = _scene(64, 96, seed=11)
+        p = jnp.asarray(prev8, jnp.float32)[..., None]
+        c = jnp.asarray(curr8, jnp.float32)[..., None]
+        R0 = jnp.transpose(_poly_exp(p, 8, 1.2), (2, 3, 0, 1))
+        R1 = jnp.transpose(_poly_exp(c, 8, 1.2), (2, 3, 0, 1))
+        border = _border_scale_map(64, 96)
+        kw = dict(iterations=3, band_rows=32, interpret=True)
+        whole = np.asarray(farneback_iterate_pallas(
+            R0, R1, jnp.zeros((1, 2, 64, 96)), border, **kw))
+        for tile_cols in (48, 40):   # even split + ragged overhang split
+            tiled = np.asarray(farneback_iterate_pallas(
+                R0, R1, jnp.zeros((1, 2, 64, 96)), border,
+                tile_cols=tile_cols, **kw))
+            np.testing.assert_allclose(tiled, whole, atol=1e-5,
+                                       err_msg=f"tile_cols={tile_cols}")
+
+    def test_wide_frame_auto_tiles(self):
+        """W > 1024 auto-splits into column tiles and still matches the
+        XLA separable path (the AirSim 1920-wide readiness guarantee)."""
+        prev8, curr8 = _scene(16, 1100, seed=13, tx=1.2, ty=0.4)
+        got = np.asarray(farneback_flow(
+            jnp.asarray(prev8), jnp.asarray(curr8),
+            FarnebackParams(warp="pallas", iterations=2, levels=1)))
+        ref = np.asarray(farneback_flow(
+            jnp.asarray(prev8), jnp.asarray(curr8),
+            FarnebackParams(warp="separable", iterations=2, levels=1)))
+        assert np.abs(got - ref).max() < 1e-3
+
     def test_via_farneback_flow_params(self):
         """warp='pallas' is reachable through the public solver API."""
         prev8, curr8 = _scene(64, 96, seed=5)

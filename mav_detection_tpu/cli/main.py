@@ -102,6 +102,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--devices", type=int, default=0,
                         help="shard frame batches over N devices (data-"
                              "parallel mesh); 0 = single device")
+    parser.add_argument("--engine", type=str, default="batch",
+                        help="frame engine: batch (fused frame batches), "
+                             "scan (one lax.scan program with carried "
+                             "temporal state), chunked (time chunks over "
+                             "the mesh; needs --devices)")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--prepare-dataset", action="store_true",
                         help="prepares the YOLOv4 training dataset")
@@ -134,7 +139,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         logger=logger, dataset=args.dataset, sequence=args.sequence,
         mode=args.mode, algorithm=args.algorithm,
         flow_source=args.flow_source, batch_size=args.batch_size,
-        devices=args.devices,
+        devices=args.devices, engine=args.engine,
         debug=args.debug, prepare_dataset=args.prepare_dataset,
         validate=args.validate, headless=args.headless,
         data_to_yolo=args.data_to_yolo, undistort=args.undistort)

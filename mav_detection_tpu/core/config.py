@@ -110,6 +110,11 @@ class RunConfig:
     # number of devices for frame-batch data parallelism: 0 = single-device,
     # N > 1 = shard each frame batch over an N-device ``data`` mesh
     devices: int = 0
+    # frame engine: "batch" = fused detection over frame batches (default),
+    # "scan" = one lax.scan program over the whole sequence with carried
+    # temporal state, "chunked" = time chunks sharded over the mesh with a
+    # ppermute'd halo frame (needs devices > 1). SURVEY §2c "temporal scan".
+    engine: str = "batch"
     settings_path: Optional[str] = None
     logger: Optional[logging.Logger] = None
     settings: Dict[str, Any] = field(default_factory=dict)
@@ -122,6 +127,9 @@ class RunConfig:
             self.algorithm = _parse_enum(Algorithm, self.algorithm)
         if isinstance(self.flow_source, str):
             self.flow_source = _parse_enum(FlowSource, self.flow_source)
+        if self.engine not in ("batch", "scan", "chunked"):
+            raise ValueError(
+                f"engine={self.engine!r}: must be batch, scan or chunked")
         if not self.settings:
             self.settings = load_settings(self.settings_path)
         if self.logger is None:

@@ -330,7 +330,107 @@ class Processor:
                 imwrite(os.path.join(out_dir, f"image_{i:05d}.png"),
                         np.vstack([top, bottom]))
 
+    def run_detection_foe_scan(self) -> Dict[int, FrameResult]:
+        """Temporal frame engine (``--engine scan|chunked``): the whole
+        sequence compiles into ONE device program — on-device Farneback per
+        transition plus the fused detection step under a ``lax.scan`` with
+        carried temporal state (flow history). ``chunked`` shards contiguous
+        time chunks over the device mesh, exchanging a one-frame halo with
+        ``ppermute`` (SURVEY §2c "temporal scan"; the reference is forced to
+        a serial Python loop by this same state, processor.py:283).
+
+        JSON results keep the batch engine's FrameResult schema; per-frame
+        debug images are not produced in this mode. Flow is always computed
+        on device (Farneback) regardless of ``--flow-source``.
+        """
+        from mav_detection_tpu.pipeline.temporal import (
+            detect_sequence_scan,
+            detect_video_chunked,
+        )
+
+        ds = self.dataset
+        T = ds.N
+        h, w = ds.capture_shape[:2]
+
+        # Frame-indexed inputs: element t describes transition (t-1, t); aux
+        # arrays use the pair's FIRST frame, matching the batch engine's
+        # (i, i+1) convention at t = i + 1.
+        frames = np.stack([self._gray(ds.get_frame(i)) for i in range(T)])
+        omegas = np.zeros((T, 3), np.float32)
+        dts = np.ones((T,), np.float32)
+        segs = np.zeros((T, h, w), np.uint8)
+        skys = np.zeros((T, h, w), bool)
+        depths = np.ones((T, h, w), np.float32)
+        gt_foes = np.zeros((T, 2), np.float32)
+        for t in range(1, T):
+            i = t - 1
+            dt = float(ds.get_delta_time(i + 1)) or 1.0
+            omegas[t] = np.asarray(
+                ds.get_angular_difference(i, i + 1), np.float32) / dt
+            dts[t] = dt
+            seg = np.asarray(ds.get_segmentation(i))
+            segs[t] = seg[..., 0] if seg.ndim == 3 else seg
+            skys[t] = np.asarray(ds.get_sky_segmentation(i), bool)
+            depths[t] = np.asarray(ds.get_depth(i), np.float32)
+            gt_foes[t] = np.asarray(ds.get_gt_foe(i), np.float32)
+
+        key = jax.random.PRNGKey(0)
+        if self.config.engine == "chunked":
+            if self.mesh is None:
+                raise ValueError("--engine chunked requires --devices > 1")
+            n_dev = self.mesh.devices.size
+            pad = (-T) % n_dev
+
+            def padf(a):
+                return (np.concatenate([a, np.repeat(a[-1:], pad, axis=0)])
+                        if pad else a)
+
+            scal = detect_video_chunked(
+                self.mesh, jnp.asarray(padf(frames)), jnp.asarray(padf(omegas)),
+                jnp.asarray(padf(dts)), jnp.asarray(padf(segs)),
+                jnp.asarray(padf(skys)), jnp.asarray(padf(depths)),
+                jnp.asarray(padf(gt_foes)), key, params=self._farneback,
+                config=DetectionStep())
+        else:
+            scal, _ = detect_sequence_scan(
+                jnp.asarray(frames), jnp.asarray(omegas), jnp.asarray(dts),
+                jnp.asarray(segs), jnp.asarray(skys), jnp.asarray(depths),
+                jnp.asarray(gt_foes), key, params=self._farneback,
+                config=DetectionStep())
+
+        foe = np.asarray(scal.foe)
+        results_dir = ds.results_path if ds.seq_path else ""
+        if results_dir:
+            create_if_not_exists(results_dir)
+        for t in range(1, T):           # transition (t-1, t) -> result index i
+            i = t - 1
+            j = t - 1                   # scalars carry transitions 1..T-1
+            fr = FrameResult(
+                time=float(ds.get_time(i)),
+                tpr=float(np.asarray(scal.tpr)[j]),
+                fpr=float(np.asarray(scal.fpr)[j]),
+                tpr_fixed=float(np.asarray(scal.tpr_fixed)[j]),
+                fpr_fixed=float(np.asarray(scal.fpr_fixed)[j]),
+                sky_tpr=float(np.asarray(scal.sky_tpr)[j]),
+                sky_fpr=float(np.asarray(scal.sky_fpr)[j]),
+                drone_size_pixels=float(np.asarray(scal.drone_size_pixels)[j]),
+                drone_flow_pixels=tuple(
+                    float(v) for v in np.asarray(scal.drone_flow_pixels)[j]),
+                foe_dense=(float(foe[j, 0]), float(foe[j, 1])),
+                foe_gt=tuple(float(v) for v in gt_foes[t]),
+                center_phi=float(np.asarray(scal.center_phi)[j]),
+            )
+            self.detection_results[i] = fr
+            self.config.results[i] = fr
+            if results_dir:
+                with open(os.path.join(results_dir,
+                                       f"image_{i:05d}.json"), "w") as f:
+                    f.write(fr.to_json())
+        return self.detection_results
+
     def run_detection_foe(self) -> Dict[int, FrameResult]:
+        if self.config.engine in ("scan", "chunked"):
+            return self.run_detection_foe_scan()
         ds = self.dataset
         n_pairs = ds.N - 1
         h, w = ds.capture_shape[:2]

@@ -150,8 +150,16 @@ def _params():
     # scene: L1 2.2 px vs GT, L3 0.34 px = parity with cv2's own 0.36.
     # The fused Pallas path refits every iteration, so 6 iterations already
     # sit at the fixed point (same EPE as 10, measured).
+    # max_shift=8 + 24-row bands (PERF.md "Pallas kernel tuning"): with
+    # pyramid init the per-refit residual stays inside ±8, halving the
+    # shift/select chain, and the smaller S lets bands grow 8->24 rows so
+    # the halo amortizes — 7.48 -> 3.25 ms/frame at IDENTICAL measured EPE
+    # (the epe_check assert below keeps this honest on every run).
+    if warp == "pallas":
+        return FarnebackParams(levels=3, pyr_scale=0.5, warp=warp, fast=fast,
+                               iterations=6, max_shift=8, band_rows=24)
     return FarnebackParams(levels=3, pyr_scale=0.5, warp=warp, fast=fast,
-                           iterations=6 if warp == "pallas" else 10)
+                           iterations=10)
 
 
 def tpu_ms_per_frame(prev8, curr8, batch: int) -> float:

@@ -38,9 +38,14 @@ class RAFTConfig:
     corr_radius: int = 4
     iters: int = 12
     dtype: Any = jnp.bfloat16
-    # False = memory-light lookup (recompute window dot products from pooled
-    # features each iteration; no (h*w)^2 volume). Required above ~512p.
+    # False = memory-light lookup (banded LOCAL correlation volumes built
+    # once per frame from pooled features; no (h*w)^2 volume). Required
+    # above ~512p and much faster at any size (PERF.md "RAFT inference").
     materialize_corr: bool = True
+    # Half-width (in 1/8-res feature pixels) of the local volumes' flow
+    # coverage when materialize_corr=False: |flow| <= 8*max_flow_lookup
+    # full-res px is exact; beyond it the lookup window saturates.
+    max_flow_lookup: int = 2
 
 
 class ResidualBlock(nn.Module):
@@ -192,6 +197,103 @@ def lookup_corr_otf(f1: jax.Array, f2_pyramid: Sequence[jax.Array],
     return jnp.stack(outs, axis=-1)
 
 
+def build_local_corr_volumes(f1: jax.Array, f2_pyramid: Sequence[jax.Array],
+                             radius: int, max_flow: int
+                             ) -> Sequence[jax.Array]:
+    """Per-frame LOCAL correlation volumes: D_l[y, x, u, v] =
+    <f1(y, x), f2_l(clip(y//s + u + lo), clip(x//s + v + lo))> / sqrt(C)
+    with the (u, v) window sized to cover |flow| <= ``max_flow`` feature px
+    plus the lookup radius (lo = -(ceil(max_flow/s) + 1 + radius)).
+
+    Rationale (PERF.md "RAFT inference"): the per-iteration OTF lookup
+    re-gathers C-dim features for all (2r+1)^2 taps — 3.7 GB of redundant
+    reads per iteration at 752x480. The dot product commutes with bilinear
+    interpolation, so correlating ONCE against every integer shift in range
+    moves all feature traffic to a per-frame precompute; each GRU iteration
+    then only interpolates scalars out of these small volumes."""
+    h, w, c = f1.shape
+    f1f = f1.astype(jnp.float32)
+    scale_dot = 1.0 / jnp.sqrt(jnp.float32(c))
+    vols = []
+    for lvl, f2l in enumerate(f2_pyramid):
+        s = 2 ** lvl
+        R = -(-max_flow // s) + 1 + radius       # u, v in [-R, R + 1]
+        TH, TW = f2l.shape[:2]
+        pad = R + 2
+        f2p = jnp.pad(f2l.astype(jnp.float32),
+                      ((pad, pad), (pad, pad), (0, 0)), mode="edge")
+        # ceil sizes: ragged pixels (y//s beyond the floor-pooled rows) keep
+        # their TRUE base index so clip(y//s + u) matches the OTF lookup —
+        # the edge padding of f2p supplies the clamped values
+        ky, kx = -(-h // s), -(-w // s)
+        planes = []
+        for u in range(-R, R + 2):
+            for v in range(-R, R + 2):
+                sh = jax.lax.slice(f2p, (pad + u, pad + v, 0),
+                                   (pad + u + ky, pad + v + kx, c))
+                if s > 1:
+                    sh = jnp.repeat(jnp.repeat(sh, s, axis=0), s, axis=1)
+                planes.append(jnp.sum(f1f * sh[:h, :w], axis=-1) * scale_dot)
+        U = 2 * R + 2
+        vols.append(jnp.stack(planes, axis=-1).reshape(h, w, U, U))
+    return tuple(vols)
+
+
+def lookup_corr_volumes(vols: Sequence[jax.Array], f2_shapes,
+                        flow: jax.Array, radius: int) -> jax.Array:
+    """Window lookup out of precomputed local volumes — bit-equal to
+    ``lookup_corr_otf`` for |flow| within the volumes' coverage; beyond it
+    the window saturates at the volume edge (graceful, like the Farneback
+    warp's max_shift). Returns (h, w, levels*(2r+1)^2)."""
+    h, w = flow.shape[:2]
+    yf = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    xf = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    d_off = jnp.arange(-radius, radius + 1)
+    outs = []
+    for lvl, (D, (TH, TW)) in enumerate(zip(vols, f2_shapes)):
+        s = float(2 ** lvl)
+        U = D.shape[-1]
+        lo = -(U - 2) // 2
+        ay = (jnp.mod(yf, s) + flow[..., 1]) / s
+        ax = (jnp.mod(xf, s) + flow[..., 0]) / s
+        sy = jnp.floor(ay)
+        sx = jnp.floor(ax)
+        gy = ay - sy
+        gx = ax - sx
+        cy = (yf + flow[..., 1]) / s
+        cx = (xf + flow[..., 0]) / s
+        # per-tap effective fractions: zero when the (clipped) tap coordinate
+        # pins to the map border — reproduces lookup_corr_otf's pre-floor clip
+        gye = jnp.where((cy[..., None] + d_off >= 0)
+                        & (cy[..., None] + d_off <= TH - 1),
+                        gy[..., None], 0.0)                      # (h, w, 9)
+        gxe = jnp.where((cx[..., None] + d_off >= 0)
+                        & (cx[..., None] + d_off <= TW - 1),
+                        gx[..., None], 0.0)
+        # Gather-free extraction: XLA gathers are bandwidth-catastrophic on
+        # this toolchain (take_along_axis measured 71 ms/iter here), so the
+        # bilinear tap selection becomes two tiny per-pixel einsums against
+        # one-hot selector stacks — Sy/Sx fold the integer-row choice AND
+        # the interpolation weight into a (U, taps) matrix per pixel.
+        n = 2 * radius + 1
+        u_iota = jnp.arange(U)
+
+        def selector(s_i, g_eff):
+            j0 = jnp.clip(s_i[..., None] + d_off - lo, 0, U - 1)
+            j1 = jnp.clip(s_i[..., None] + d_off + 1 - lo, 0, U - 1)
+            one0 = (u_iota[:, None] == j0[..., None, :]).astype(jnp.float32)
+            one1 = (u_iota[:, None] == j1[..., None, :]).astype(jnp.float32)
+            return ((1.0 - g_eff)[..., None, :] * one0
+                    + g_eff[..., None, :] * one1)          # (h, w, U, n)
+
+        Sy = selector(sy.astype(jnp.int32), gye)
+        Sx = selector(sx.astype(jnp.int32), gxe)
+        t = jnp.einsum("hwuv,hwvx->hwux", D, Sx)
+        out = jnp.einsum("hwud,hwux->hwdx", Sy, t)
+        outs.append(out.reshape(h, w, n * n))
+    return jnp.concatenate(outs, axis=-1)
+
+
 class ConvGRU(nn.Module):
     hidden_dim: int
     dtype: Any = jnp.bfloat16
@@ -254,13 +356,14 @@ class _RefineStep(nn.Module):
     config: RAFTConfig
 
     @nn.compact
-    def __call__(self, carry, context, f1, pyramid):
+    def __call__(self, carry, context, f1, pyramid, vols):
         hidden, flow = carry
         cfg = self.config
         if cfg.materialize_corr:
             corr_feat = lookup_corr(pyramid, flow, cfg.corr_radius)
         else:
-            corr_feat = lookup_corr_otf(f1, pyramid, flow, cfg.corr_radius)
+            corr_feat = lookup_corr_volumes(
+                vols, [p.shape[:2] for p in pyramid], flow, cfg.corr_radius)
         hidden, dflow, mask = UpdateBlock(cfg, name="update")(
             hidden, context, corr_feat, flow)
         flow = flow + dflow
@@ -291,8 +394,11 @@ class RAFT(nn.Module):
         if cfg.materialize_corr:
             corr = all_pairs_correlation(f1, f2)
             pyramid = tuple(build_corr_pyramid(corr, cfg.corr_levels))
+            vols: tuple = ()
         else:
             pyramid = tuple(build_feature_pyramid(f2, cfg.corr_levels))
+            vols = tuple(build_local_corr_volumes(
+                f1, pyramid, cfg.corr_radius, cfg.max_flow_lookup))
 
         h8, w8 = f1.shape[0], f1.shape[1]
         flow = jnp.zeros((h8, w8, 2), jnp.float32)
@@ -301,12 +407,12 @@ class RAFT(nn.Module):
             _RefineStep,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=iters,
         )
         (_, flow), (flows8, masks) = scan(cfg, name="refine")(
-            (hidden, flow), context, f1, pyramid)
+            (hidden, flow), context, f1, pyramid, vols)
 
         predictions = jax.vmap(convex_upsample)(flows8, masks)
         return predictions[-1], predictions
@@ -334,8 +440,18 @@ def _raft_apply(params, img1, img2, iters, config: RAFTConfig = RAFTConfig()):
     return flow
 
 
+# Inference default: the memory-light OTF lookup. Identical math up to
+# bilinear ordering (features interpolate before the dot product — RAFT's
+# own "alternate" implementation), no (h*w)^2 volume, and measured 2.4x
+# faster at 752x480 on v5e: the materialized volume's per-row gathers are
+# bandwidth-catastrophic at size (PERF.md "RAFT inference"). Training keeps
+# the materialized volume (faster at the small training resolutions).
+INFERENCE_CONFIG = RAFTConfig(materialize_corr=False)
+
+
 def raft_flow(params, image1: jax.Array, image2: jax.Array,
-              iters: int = 12, config: RAFTConfig = RAFTConfig()) -> jax.Array:
+              iters: int = 12,
+              config: RAFTConfig = INFERENCE_CONFIG) -> jax.Array:
     """Dense flow from a trained/initialized RAFT. Pads to multiples of 8."""
     h, w = image1.shape[:2]
     ph = (-h) % 8

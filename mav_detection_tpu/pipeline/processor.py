@@ -67,15 +67,24 @@ class Processor:
         self._stage_host_seconds = 0.0
         self.frame_step_size = 1
         self.is_exiting = False
-        # auto = separable shifted-sum warp with a data-dependent fallback to
-        # the exact gather when motion exceeds max_shift coverage
         # levels=3 matters: the Jacobi solver shares cv2's fixed point but
         # (unlike cv2's row-sequential Gauss-Seidel sweep) will not CONVERGE
         # to it from a zero init when motion is large — pyramid init fixes
         # that (measured on the 8 px non-uniform bench scene: L1 EPE 2.2 px
         # vs GT, L3 0.34 px = cv2 parity).
-        self._farneback = FarnebackParams(warp="auto", fast=True, levels=3,
-                                          pyr_scale=0.5)
+        # On TPU the product default is the fused Pallas kernel at its tuned
+        # configuration (S=8, 24-row bands — PERF.md "Pallas kernel tuning",
+        # 458 fps/chip on the bench scene); elsewhere (CPU tests, interpret
+        # mode is too slow) it is the separable shifted-sum warp with a
+        # data-dependent fallback to the exact gather when motion exceeds
+        # max_shift coverage ("auto").
+        if jax.default_backend() == "tpu":
+            self._farneback = FarnebackParams(
+                warp="pallas", levels=3, pyr_scale=0.5, iterations=6,
+                max_shift=8, band_rows=24)
+        else:
+            self._farneback = FarnebackParams(warp="auto", fast=True,
+                                              levels=3, pyr_scale=0.5)
         self.tracer = Tracer()
         # write per-frame debug images (result/derotated/phi/overlay); JSON
         # results are always written. Disable for throughput runs.

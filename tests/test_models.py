@@ -226,6 +226,37 @@ class TestMemoryLightCorr:
         diff = np.abs(np.asarray(mat) - np.asarray(otf))
         assert np.median(diff) < 0.1
 
+    def test_volume_lookup_matches_otf_exactly(self):
+        """The banded local-correlation volumes reproduce lookup_corr_otf
+        bit-near-exactly for |flow| within coverage — the dot product
+        commutes with bilinear interpolation, so precomputing integer-shift
+        correlations changes the op order but not the math."""
+        import jax.numpy as jnp
+
+        from mav_detection_tpu.models.raft import (
+            build_feature_pyramid,
+            build_local_corr_volumes,
+            lookup_corr_otf,
+            lookup_corr_volumes,
+        )
+
+        rng = np.random.default_rng(2)
+        # odd sizes: exercise ragged pooling (y//s beyond the pooled rows)
+        f1 = jnp.asarray(rng.random((13, 19, 16)).astype(np.float32))
+        f2 = jnp.asarray(rng.random((13, 19, 16)).astype(np.float32))
+        pyr = build_feature_pyramid(f2, 3)
+        for scale in (0.0, 0.8, 2.5):
+            flow = jnp.asarray(
+                rng.normal(scale=scale, size=(13, 19, 2)).astype(np.float32))
+            flow = jnp.clip(flow, -3.5, 3.5)   # inside max_flow_lookup=4
+            otf = lookup_corr_otf(f1, pyr, flow, radius=2)
+            vols = build_local_corr_volumes(f1, pyr, radius=2, max_flow=4)
+            fast = lookup_corr_volumes(vols, [p.shape[:2] for p in pyr],
+                                       flow, radius=2)
+            np.testing.assert_allclose(np.asarray(fast), np.asarray(otf),
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"flow scale {scale}")
+
     def test_full_model_memory_light_mode(self):
         from mav_detection_tpu.models.raft import RAFT, RAFTConfig, create_raft
 

@@ -80,7 +80,8 @@ def run_all(logger: logging.Logger, args: argparse.Namespace) -> None:
             sequence=sequence, mode=str(Mode.FLOW_FOE_CLUSTERING),
             debug=True, validate=True, headless=args.headless,
             flow_source=args.flow_source, batch_size=args.batch_size,
-            devices=args.devices, engine=args.engine)
+            devices=args.devices,
+            engine=getattr(args, "engine", "batch"))
         execute(config)
 
 

@@ -288,8 +288,12 @@ def lookup_corr_volumes(vols: Sequence[jax.Array], f2_shapes,
 
         Sy = selector(sy.astype(jnp.int32), gye)
         Sx = selector(sx.astype(jnp.int32), gxe)
-        t = jnp.einsum("hwuv,hwvx->hwux", D, Sx)
-        out = jnp.einsum("hwud,hwux->hwdx", Sy, t)
+        # broadcast-multiply-reduce instead of einsum: the equivalent tiny
+        # batched dot_generals miscompile to all-NaN at batch>=8 under vmap
+        # on the current TPU toolchain (measured; batch 2/4 fine) — the
+        # explicit form lowers to plain VPU fusions and is just as fast
+        t = jnp.sum(D[..., :, :, None] * Sx[..., None, :, :], axis=-2)
+        out = jnp.sum(Sy[..., :, :, None] * t[..., :, None, :], axis=-3)
         outs.append(out.reshape(h, w, n * n))
     return jnp.concatenate(outs, axis=-1)
 
@@ -488,6 +492,17 @@ def raft_flow_batch(images1: jax.Array, images2: jax.Array,
                 image_hw=(images1.shape[1] + (-images1.shape[1]) % 8,
                           images1.shape[2] + (-images1.shape[2]) % 8))
         params = _RAFT_CACHE[key]
+    if jax.default_backend() == "tpu":
+        # Toolchain-bug workaround: on the current TPU stack the composed
+        # volume-lookup graph MISCOMPILES to NaN under vmap at batch >= 8
+        # (batch 1/2/4 fine; every stage is clean in isolation — see
+        # PERF.md "RAFT inference"). lax.map reuses the verified
+        # single-frame program at a measured 15% throughput cost
+        # (44.1 vs 37.7 ms/frame); CPU and the sharded-mesh path keep the
+        # vmap semantics.
+        return jax.lax.map(
+            lambda ab: raft_flow(params, ab[0], ab[1], iters),
+            (images1, images2))
     return jax.vmap(lambda a, b: raft_flow(params, a, b, iters))(images1, images2)
 
 

@@ -51,6 +51,11 @@ def flow_to_color(flow_uv: np.ndarray, convert_to_bgr: bool = True,
     """
     flow_uv = np.asarray(flow_uv, dtype=np.float64)
     assert flow_uv.ndim == 3 and flow_uv.shape[2] == 2, f"bad flow shape {flow_uv.shape}"
+    if not np.isfinite(flow_uv).all():
+        # a NaN/inf pixel must not crash the debug-image writer (NaN floors
+        # to INT_MIN and indexes out of the colorwheel): render it as zero
+        # motion instead
+        flow_uv = np.nan_to_num(flow_uv, nan=0.0, posinf=0.0, neginf=0.0)
     u, v = flow_uv[..., 0], flow_uv[..., 1]
     rad = np.sqrt(u ** 2 + v ** 2)
     if rad_max is None:

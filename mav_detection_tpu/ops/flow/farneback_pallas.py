@@ -247,13 +247,29 @@ def farneback_iterate_pallas(
     th = -(-min(band_rows, H) // 8) * 8
     nbands = -(-H // th)
     Hp = nbands * th  # Pallas clamps (not masks) ragged blocks: pad instead
+    # Per-block VMEM scales with the padded plane (th + 2P) * (tw + 2P);
+    # calibrated on v5e HARDWARE (S=8, m=6, th=24: 54x990 planes exceeded the
+    # 16 MB scoped limit by 56 KB), so cap the plane at ~46k elements (~14 MB
+    # at the measured ~300 B/elem incl. double buffering and temporaries) and
+    # column-tile beyond it, 128-lane-aligned (ADVICE r2: auto tiles must be
+    # lane-aligned and the wide path must be validated on real TPU — it is,
+    # see tools/wide_frame_check.py + PERF.md "wide frames").
+    plane_budget = 46_000
+    max_cols = max(plane_budget // (th + 2 * P) - 2 * P, 256)
     if tile_cols:
         tw = min(tile_cols, W)
-    elif W <= 1024:
+    elif W <= max_cols:
         tw = W
     else:
-        nct = -(-W // 896)
-        tw = -(-W // nct)
+        def aligned_tile(n_tiles: int) -> int:
+            t = -(-W // n_tiles)           # ceil split
+            return -(-t // 128) * 128      # 128-lane align
+
+        nct = -(-W // max_cols)
+        tw = aligned_tile(nct)
+        while tw > max_cols and nct * 128 < W + 128:
+            nct += 1
+            tw = aligned_tile(nct)
     nctiles = -(-W // tw)
     Wp = nctiles * tw
 

@@ -7,9 +7,12 @@ The reference processes video strictly serially because of temporal state
 TPU-native equivalents:
 
 * ``detect_sequence_scan`` — one compiled program for a whole frame chunk:
-  ``lax.scan`` over time carrying (FlowHistory, TraceState); per-frame
+  ``lax.scan`` over time carrying the FlowHistory temporal state; per-frame
   outputs stack into batch-shaped arrays. The scan body is the same fused
   detection step as the batched path, so stateless metrics are identical.
+  (The sparse-FoE TraceState machinery lives in ``ops.geometry.foe`` and is
+  exercised standalone; it is not carried by this engine — the reference
+  keeps sparse FoE off its default path too, focus_of_expansion.py:88-148.)
 * ``detect_video_chunked`` — shard a long sequence over the mesh as
   contiguous time chunks. The only inter-frame dependency in the default FoE
   path is the (i-1, i) flow pair, so each device needs exactly ONE halo

@@ -242,7 +242,9 @@ class SimDataCollector:
         for v in (OBSERVER, TARGET):
             result[v] = self.client.get_state(v)
         ts = self.client.sim_time_ns() // 1_000_000  # ms like the reference
-        with open(f"{self.base_dir}/states/{ts}.json", "w") as f:
+        # zero-padded so lexical == numeric order (real AirSim ns-epoch
+        # stamps are constant-width; mock ms stamps from t=0 are not)
+        with open(f"{self.base_dir}/states/{ts:015d}.json", "w") as f:
             json.dump(result, f, indent=4, sort_keys=True)
 
     def finish_sequence(self) -> None:

@@ -208,14 +208,20 @@ def tpu_ms_per_frame(prev8, curr8, batch: int) -> float:
     a = jax.device_put(jnp.tile(jnp.asarray(prev8, jnp.float32)[None], (batch, 1, 1)))
     b = jax.device_put(jnp.tile(jnp.asarray(curr8, jnp.float32)[None], (batch, 1, 1)))
     float(rep(a, b, 1))  # compile + warm
+    # adaptive rep count: the tunnel's RTT varies by ~100 ms run-to-run, so
+    # the measured window t(N)-t(1) must span >=0.5 s of device time or the
+    # number is noise (observed: a 12 ms window once read as 1286 fps)
     n_hi = max(17 // batch, 3)
-    t0 = time.perf_counter()
-    float(rep(a, b, 1))
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(rep(a, b, n_hi))
-    t2 = time.perf_counter() - t0
-    return (t2 - t1) / ((n_hi - 1) * batch) * 1e3
+    while True:
+        t0 = time.perf_counter()
+        float(rep(a, b, 1))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(rep(a, b, n_hi))
+        t2 = time.perf_counter() - t0
+        if t2 - t1 > 0.5 or n_hi >= 4096:
+            return (t2 - t1) / ((n_hi - 1) * batch) * 1e3
+        n_hi *= 4
 
 
 def epe_check(prev8, curr8, gt_flow):

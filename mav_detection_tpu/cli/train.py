@@ -152,28 +152,43 @@ def train_raft(steps: int = 4000, batch: int = 8,
     from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
     from mav_detection_tpu.models.raft import raft_flow
 
-    sel_ds = SyntheticDataset(params=SyntheticParams(
-        seed=782, n_frames=4, foe=(140.0, 150.0), expansion=0.013,
-        drone_start=(230.0, 90.0), drone_velocity=(-3.0, 2.5)))
+    # TWO selection fixtures with different scene parameters (and neither is
+    # the reported eval fixture, seed 777 — selection must not touch the
+    # number we report); the second adds a small fast intruder, the regime
+    # the round-2 net was weakest in cross-domain
+    sel_sets = [
+        SyntheticDataset(params=SyntheticParams(
+            seed=782, n_frames=4, foe=(140.0, 150.0), expansion=0.013,
+            drone_start=(230.0, 90.0), drone_velocity=(-3.0, 2.5))),
+        SyntheticDataset(params=SyntheticParams(
+            seed=783, n_frames=4, foe=(180.0, 110.0), expansion=0.018,
+            drone_radius=4, drone_start=(90.0, 150.0),
+            drone_velocity=(4.0, -3.0))),
+    ]
 
     def selector(p):
-        epes, depes = [], []
-        for i in range(sel_ds.N - 1):
-            fl = np.asarray(raft_flow(p, jnp.asarray(sel_ds.get_frame(i)),
-                                      jnp.asarray(sel_ds.get_frame(i + 1)),
-                                      iters=iters))
-            err = np.linalg.norm(fl - sel_ds.flows[i], axis=-1)
-            epes.append(err.mean())
-            drone = sel_ds.segs[i] > 0
-            if drone.any():
-                depes.append(err[drone].mean())
-        # min-over-gates (VERDICT r2): both the overall AND the drone-region
-        # EPE share the 0.5 px gate — score by the WORST of the two so the
-        # selector can never trade one past its gate for the other; the small
-        # sum term breaks ties toward improving both
-        epe = float(np.mean(epes))
-        depe = float(np.mean(depes or [0.0]))
-        return -(max(epe, depe) + 0.1 * (epe + depe))
+        # min-over-gates (VERDICT r2): overall and drone-region EPE on BOTH
+        # fixtures share the 0.5 px gate — score by the WORST of the four so
+        # the selector can never trade one metric past its gate for another;
+        # the small sum term breaks ties toward improving all
+        worst = 0.0
+        total = 0.0
+        for ds in sel_sets:
+            epes, depes = [], []
+            for i in range(ds.N - 1):
+                fl = np.asarray(raft_flow(p, jnp.asarray(ds.get_frame(i)),
+                                          jnp.asarray(ds.get_frame(i + 1)),
+                                          iters=iters))
+                err = np.linalg.norm(fl - ds.flows[i], axis=-1)
+                epes.append(err.mean())
+                drone = ds.segs[i] > 0
+                if drone.any():
+                    depes.append(err[drone].mean())
+            epe = float(np.mean(epes))
+            depe = float(np.mean(depes or [0.0]))
+            worst = max(worst, epe, depe)
+            total += epe + depe
+        return -(worst + 0.05 * total)
 
     # NOTE: the remote TPU worker kills single XLA programs running longer
     # than ~1 minute (watchdog); at ~0.7 s/step the scan chunk must stay

@@ -103,11 +103,21 @@ def generate_scene(key: jax.Array, h: int, w: int) -> SynthScene:
     def mixed_texture(key_noise, key_mix, sig_a, sig_b, lo_rng, hi_rng):
         """Blur-spectrum + brightness-range randomization: a traced convex
         mix of two fixed-sigma blurs varies the spectrum continuously with
-        static kernel shapes."""
-        kn, km = jax.random.split(key_mix)
+        static kernel shapes. A third, sinusoidal-grid family (the mock
+        simulator's ground style — round-3 cross-domain broadening) blends
+        in with a traced weight so the nets can't overfit the blurred-noise
+        spectrum alone."""
+        kn, km, ksin = jax.random.split(key_mix, 3)
         noise = jax.random.uniform(key_noise, (h, w))
         a = jax.random.uniform(kn, ())
         tex = a * _blur(noise, sig_a) + (1 - a) * _blur(noise, sig_b)
+        sp = jax.random.uniform(ksin, (6,))
+        kxy = 0.02 + 0.25 * sp[:2]                  # rad/px wavenumbers
+        sin_tex = (jnp.sin(kxy[0] * xs + sp[2] * 6.2832)
+                   * jnp.cos(kxy[1] * ys + sp[3] * 6.2832)
+                   + 0.5 * jnp.sin(2.7 * kxy[1] * xs + 1.9 * kxy[0] * ys))
+        b = 0.6 * sp[4]                              # sinusoid blend 0..0.6
+        tex = (1 - b) * _normalize(tex, 0.0, 1.0) + b * _normalize(sin_tex, 0.0, 1.0)
         u = jax.random.uniform(km, (2,))
         lo = lo_rng[0] + u[0] * (lo_rng[1] - lo_rng[0])
         hi = hi_rng[0] + u[1] * (hi_rng[1] - hi_rng[0])
@@ -140,8 +150,10 @@ def generate_scene(key: jax.Array, h: int, w: int) -> SynthScene:
         inv = fx
     bg2 = _sample_bilinear(bg1, xs - inv[..., 0], ys - inv[..., 1])
 
-    # -- intruder disc on an independent linear path
-    radius = jax.random.uniform(ks[7], (), minval=5.0, maxval=14.0)
+    # -- intruder disc on an independent linear path (min radius 3: the
+    # cross-domain scenes carry ~3-4 px intruders and the round-2 net,
+    # trained on >=5 px, washed their motion out — tools/cross_domain_eval)
+    radius = jax.random.uniform(ks[7], (), minval=3.0, maxval=14.0)
     margin = 0.12
     pos1 = jnp.stack([
         jax.random.uniform(ks[8], (), minval=margin, maxval=1 - margin) * w,

@@ -253,7 +253,30 @@ class SimDataCollector:
                 json.dump({k: str(v) for k, v in self.timestamps.items()},
                           f, indent=4, sort_keys=True)
             self.timestamps = {}
+        self.renormalize_indices()
         self.link_ue4_output()
+
+    def renormalize_indices(self) -> None:
+        """Re-index captured artifacts to consecutive image_%05d names: the
+        visibility heuristic drops frames (orbit mode), and the dataset
+        contract — in particular the GT-flow writer's image_{i}.pfm reads
+        (``data/airsim_flow.py``) — expects gap-free indices (the reference
+        renormalizes on dataset init instead, ``dataset.py:250-264``)."""
+        import re
+
+        for sub, ext in (("images", "png"), ("segmentations", "png"),
+                         ("depths", "pfm")):
+            d = f"{self.base_dir}/{sub}"
+            if not os.path.isdir(d):
+                continue
+            files = sorted(f for f in os.listdir(d)
+                           if re.fullmatch(rf"image_\d+[.]{ext}", f))
+            for k, name in enumerate(files):
+                target = f"image_{k:05d}.{ext}"
+                if name != target:
+                    # ascending rename: target index <= source index, and all
+                    # smaller slots were already re-packed -> never collides
+                    os.replace(os.path.join(d, name), os.path.join(d, target))
 
     def link_ue4_output(self) -> None:
         """Join UE4-side state dumps (written by the engine into

@@ -137,3 +137,30 @@ class TestCollectorEndToEnd:
         d = json.load(open(states[0]))
         assert "ue4" in d["Drone1"]
         assert "thread_difference" in d
+
+
+class TestRenormalizeIndices:
+    def test_gapped_captures_repack_consecutively(self, tmp_path):
+        """Orbit-mode visibility drops leave index gaps; finish_sequence
+        repacks artifacts so the GT-flow writer's consecutive image_%05d
+        reads (data/airsim_flow.py) line up with the state order."""
+        client = MockSimClient()
+        collector = SimDataCollector(client, COLLECTION,
+                                     root_data_dir=str(tmp_path / "d"),
+                                     max_iterations=1)
+        collector.base_dir = str(tmp_path / "d" / "seq")
+        for sub, ext in (("images", "png"), ("segmentations", "png"),
+                         ("depths", "pfm")):
+            os.makedirs(f"{collector.base_dir}/{sub}")
+            for i in (3, 11, 12, 40):
+                with open(f"{collector.base_dir}/{sub}/image_{i:05d}.{ext}",
+                          "w") as f:
+                    f.write(str(i))
+        collector.renormalize_indices()
+        for sub, ext in (("images", "png"), ("segmentations", "png"),
+                         ("depths", "pfm")):
+            names = sorted(os.listdir(f"{collector.base_dir}/{sub}"))
+            assert names == [f"image_{k:05d}.{ext}" for k in range(4)]
+            # order preserved: smallest old index -> slot 0
+            with open(f"{collector.base_dir}/{sub}/image_00000.{ext}") as f:
+                assert f.read() == "3"

@@ -1,0 +1,113 @@
+"""Sky / TinyYOLO evaluation at the AirSim reference resolution (1920x1024).
+
+VERDICT r2 #5: both nets were only ever gated at 240x320; the reference's
+HRNet sidecar ran on 1920x1024 imagery at half resolution
+(``/root/reference/src/datasets/dataset.py:96-114``, camera config
+``etc/settings.json:17-19``). Both models are conv-only (size-independent
+params), so the questions are accuracy and ms/frame at scale:
+
+* SkyUNet at native 1920x1024 AND at the HRNet half-res contract (960x512),
+  scored against the mock scene's far-depth sky band.
+* TinyYOLO's anchors cover 12-48 px objects, so hi-res inference follows the
+  reference's working-resolution pattern: downscale to 480x256, detect,
+  scale boxes back. IoU vs the segmentation bbox at full res.
+
+Timing uses the amortized in-program repetition method (PERF.md "Harness
+gotchas") — wall-clock through the tunnel is not a framework number.
+
+Run on the chip: python tools/hires_eval.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def amortized_ms(fn, x, reps: int = 8) -> float:
+    """t(N) - t(1) over in-program reps with input perturbation."""
+
+    @jax.jit
+    def rep(x, n):
+        def body(i, acc):
+            return acc + jnp.sum(fn(x + i.astype(x.dtype) * 1e-3))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(rep(x, 1))  # compile + warm
+    t0 = time.perf_counter()
+    float(rep(x, 1))
+    t1 = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(rep(x, reps))
+    t2 = time.perf_counter() - t0
+    return (t2 - t1) / (reps - 1) * 1e3
+
+
+def main() -> None:
+    from mav_detection_tpu.core.rectangle import Rectangle
+    from mav_detection_tpu.models import pretrained
+    from mav_detection_tpu.models.sky_segmentation import SkyUNet, sky_mask
+    from mav_detection_tpu.models.yolo import detect_boxes
+    from mav_detection_tpu.ops.image.boxes import get_simple_bounding_box
+    from mav_detection_tpu.sim.client import MockSimClient, Vector3
+
+    print("backend:", jax.default_backend())
+    h, w = 1024, 1920
+    c = MockSimClient(image_hw=(h, w), fov_deg=90, target_radius_m=0.7)
+    c.set_pose("Drone1", Vector3(0.0, 0.0, -8.0), 0.0)
+    c.set_pose("Drone2", Vector3(28.0, 2.0, -9.0), 0.0)
+    for d in c.drones.values():
+        d.landed = False
+    resp = {r.image_type: r for r in c.capture("Drone1")}
+    frame = resp["scene"].data
+    sky_gt = resp["depth"].data >= 9000.0
+    seg = resp["segmentation"].data
+
+    sky_p = pretrained.load_sky_params()
+    yolo_p = pretrained.load_yolo_params()
+
+    # ---- sky at native res and at the HRNet half-res contract
+    for sh, sw, label in ((h, w, "1920x1024"), (h // 2, w // 2, "960x512")):
+        img = jax.image.resize(jnp.asarray(frame, jnp.float32), (sh, sw, 3),
+                               "bilinear")
+        gt = np.asarray(jax.image.resize(
+            jnp.asarray(sky_gt, jnp.float32), (sh, sw), "nearest")) > 0.5
+        est = np.asarray(sky_mask(sky_p, img))
+        tpr = (est & gt).sum() / max(gt.sum(), 1)
+        fpr = (est & ~gt).sum() / max((~gt).sum(), 1)
+        ms = amortized_ms(
+            lambda x: sky_mask(sky_p, x).astype(jnp.float32), img)
+        print(f"sky @{label}: TPR {tpr:.4f} FPR {fpr:.4f} {ms:.2f} ms/frame")
+
+    # ---- yolo at the 480x256 working resolution, boxes scaled back
+    wh, ww = 256, 480
+    img = jax.image.resize(jnp.asarray(frame, jnp.float32), (wh, ww, 3),
+                           "bilinear")
+    boxes = detect_boxes(yolo_p, img, score_threshold=0.5)
+    gt_rect = get_simple_bounding_box(seg)
+    sx, sy = w / ww, h / wh
+    best = 0.0
+    valid = np.asarray(boxes.valid)
+    for j in range(len(valid)):
+        if not valid[j]:
+            continue
+        x, y, bw, bh = np.asarray(boxes.xywh[j])
+        rect = Rectangle(((x - bw / 2) * sx, (y - bh / 2) * sy),
+                         (bw * sx, bh * sy))
+        best = max(best, Rectangle.calculate_iou(rect, gt_rect))
+    ms = amortized_ms(
+        lambda x: detect_boxes(yolo_p, x).xywh.astype(jnp.float32), img)
+    print(f"yolo @480x256 (downscaled from 1920x1024): IoU {best:.3f} "
+          f"{ms:.2f} ms/frame; drone apparent size "
+          f"{gt_rect.size[0]:.0f}x{gt_rect.size[1]:.0f} px at full res")
+
+
+if __name__ == "__main__":
+    main()

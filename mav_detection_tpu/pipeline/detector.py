@@ -52,6 +52,16 @@ class FrameOutputs(NamedTuple):
 class DetectionStep(NamedTuple):
     """Static configuration for the fused step."""
     foe_samples: int = 1000
+    # Batch vectorization strategy. "vmap" (default) batches every stage and
+    # is required when the batch axis is GSPMD-sharded over a mesh (lax.map
+    # over a sharded axis forces gathers). "map" iterates the single-frame
+    # program instead — an escape hatch for batch-dependent miscompiles
+    # (cf. the RAFT vmap>=8 NaN issue, models/raft.py). Measured on v5e
+    # (PERF.md "Batching"): the detect stage costs ~0.04-0.05 ms/frame under
+    # EITHER mode at batch 1 and 8, so this knob is about correctness
+    # containment, not speed — the batch-8 end-to-end deficit sits in the
+    # flow solver's batch scaling, not here.
+    batch_mode: str = "vmap"
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -124,8 +134,11 @@ def detect_frame_batch(flow_uv, gt_flow_uv, omega, dt, segmentation, sky_mask,
                        config: DetectionStep = DetectionStep()) -> FrameOutputs:
     """Batched variant over a leading frame axis; ``keys`` is (n, 2) PRNG keys."""
     fn = functools.partial(detect_frame_pair, config=config)
-    return jax.vmap(fn)(flow_uv, gt_flow_uv, omega, dt, segmentation,
-                        sky_mask, depth, gt_foe, keys)
+    args = (flow_uv, gt_flow_uv, omega, dt, segmentation, sky_mask, depth,
+            gt_foe, keys)
+    if config.batch_mode == "map":
+        return jax.lax.map(lambda xs: fn(*xs), args)
+    return jax.vmap(fn)(*args)
 
 
 class FrameScalars(NamedTuple):
@@ -144,15 +157,24 @@ class FrameScalars(NamedTuple):
     center_phi: jax.Array
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def detect_frame_batch_scalars(flow_uv, gt_flow_uv, omega, dt, segmentation,
-                               sky_mask, depth, gt_foe, keys,
-                               config: DetectionStep = DetectionStep()
-                               ) -> FrameScalars:
-    out = detect_frame_batch(flow_uv, gt_flow_uv, omega, dt, segmentation,
-                             sky_mask, depth, gt_foe, keys, config=config)
+def _to_scalars(out: FrameOutputs) -> FrameScalars:
     return FrameScalars(
         foe=out.foe, tpr=out.tpr, fpr=out.fpr, tpr_fixed=out.tpr_fixed,
         fpr_fixed=out.fpr_fixed, sky_tpr=out.sky_tpr, sky_fpr=out.sky_fpr,
         drone_size_pixels=out.drone_size_pixels,
         drone_flow_pixels=out.drone_flow_pixels, center_phi=out.center_phi)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def detect_frame_batch_scalars(flow_uv, gt_flow_uv, omega, dt, segmentation,
+                               sky_mask, depth, gt_foe, keys,
+                               config: DetectionStep = DetectionStep()
+                               ) -> FrameScalars:
+    fn = functools.partial(detect_frame_pair, config=config)
+    args = (flow_uv, gt_flow_uv, omega, dt, segmentation, sky_mask, depth,
+            gt_foe, keys)
+    if config.batch_mode == "map":
+        # project to scalars INSIDE the map body: the scan then stacks a few
+        # hundred bytes per frame instead of full-resolution debug arrays
+        return jax.lax.map(lambda xs: _to_scalars(fn(*xs)), args)
+    return _to_scalars(jax.vmap(fn)(*args))

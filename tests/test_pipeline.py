@@ -129,6 +129,44 @@ class TestDetectionStep:
                                    np.asarray(single0.foe), atol=1e-4)
         np.testing.assert_allclose(float(batch.tpr[0]), float(single0.tpr), atol=1e-6)
 
+    def test_map_batch_mode_matches_vmap(self, synthetic):
+        """batch_mode='map' (the single-device product default) must agree
+        with the vmapped path used under a GSPMD mesh."""
+        from mav_detection_tpu.pipeline.detector import detect_frame_batch_scalars
+
+        ds = synthetic
+        idx = [1, 2, 3]
+        flow = jnp.asarray(np.stack([ds.get_flow_uv(i) for i in idx]))
+        omega = jnp.asarray(np.stack([
+            ds.get_angular_difference(i, i + 1) / ds.get_delta_time(i + 1)
+            for i in idx]), jnp.float32)
+        dt = jnp.full((3,), ds.get_delta_time(1), jnp.float32)
+        seg = jnp.asarray(np.stack([ds.get_segmentation(i)[..., 0] for i in idx]))
+        sky = jnp.asarray(np.stack([ds.get_sky_segmentation(i) for i in idx]))
+        depth = jnp.asarray(np.stack([ds.get_depth(i) for i in idx]), jnp.float32)
+        foe_gt = jnp.asarray(np.stack([ds.get_gt_foe(i) for i in idx]), jnp.float32)
+        keys = jax.random.split(jax.random.PRNGKey(7), 3)
+        args = (flow, flow, omega, dt, seg, sky, depth, foe_gt, keys)
+
+        for fn in (detect_frame_batch, detect_frame_batch_scalars):
+            v = fn(*args, config=DetectionStep(foe_samples=300))
+            m = fn(*args, config=DetectionStep(foe_samples=300,
+                                               batch_mode="map"))
+            assert type(v) is type(m)
+            for name, a, b in zip(v._fields, v, m):
+                a, b = np.asarray(a), np.asarray(b)
+                if a.dtype == bool:
+                    # threshold masks may flip on pixels sitting exactly at
+                    # the decision boundary under fp reassociation
+                    assert np.mean(a != b) < 5e-3, \
+                        f"{fn.__name__}.{name} map != vmap"
+                else:
+                    # phi's arccos amplifies ~1e-7 dot-product
+                    # reassociation noise to ~0.04 deg near phi=0
+                    np.testing.assert_allclose(
+                        a, b, atol=0.05,
+                        err_msg=f"{fn.__name__}.{name} map != vmap")
+
 
 class TestProcessorEndToEnd:
     def test_run_detection_and_validation(self, tmp_path, monkeypatch):

@@ -350,11 +350,23 @@ def eval_sky(params, n_frames: int = 12) -> Tuple[float, float, float, float]:
 # ------------------------------------------------------------------- yolo
 def train_yolo(steps: int = 2500, batch: int = 8,
                hw: Tuple[int, int] = (240, 320), peak_lr: float = 1e-3,
-               chunk: int = 100, seed: int = 0):
+               chunk: int = 100, seed: int = 0,
+               mode: str = "APPEARANCE_RGB"):
+    """Train TinyYOLO on mode-appropriate imagery. ``mode`` selects the
+    inference-input rendering (the reference trains separate YOLOv4 weights
+    per mode, ``/root/reference/settings.json:2-4``): training imagery is
+    synthesized ON DEVICE by ``pipeline/mode_imagery.mode_image_device``
+    (flow-vis / radial / ego-motion residual from the generator's GT flow),
+    fused into the train step; selection scores the host fixture through the
+    exact numpy transform inference uses."""
     import optax
 
     from mav_detection_tpu.data.synthgen import generate_scene
     from mav_detection_tpu.models.yolo import create_yolo, yolo_loss
+    from mav_detection_tpu.pipeline.mode_imagery import (
+        mode_image_device,
+        mode_image_host,
+    )
 
     h, w = hw
     model, params = create_yolo(jax.random.PRNGKey(seed), image_hw=hw)
@@ -363,18 +375,22 @@ def train_yolo(steps: int = 2500, batch: int = 8,
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = opt.init(params)
 
-    def loss_fn(params, scenes):
+    def loss_fn(params, scenes, keys):
+        imgs = jax.vmap(
+            lambda im, fl, k: mode_image_device(im, fl, mode, k))(
+                scenes.img1, scenes.flow, keys)
         per = jax.vmap(lambda im, box: yolo_loss(params, model, im, box))
-        return jnp.mean(per(_gray3(scenes.img1), scenes.box))
+        return jnp.mean(per(imgs, scenes.box))
 
     @functools.partial(jax.jit, static_argnames=("nsteps",))
     def run_chunk(params, opt_state, key, nsteps):
         def body(carry, _):
             params, opt_state, key = carry
-            key, sub = jax.random.split(key)
+            key, sub, sub2 = jax.random.split(key, 3)
             scenes = jax.vmap(lambda k: generate_scene(k, h, w))(
                 jax.random.split(sub, batch))
-            loss, grads = jax.value_and_grad(loss_fn)(params, scenes)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, scenes, jax.random.split(sub2, batch))
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state, key), loss
@@ -391,10 +407,18 @@ def train_yolo(steps: int = 2500, batch: int = 8,
         seed=781, n_frames=6, drone_radius=8, drone_start=(250.0, 170.0),
         drone_velocity=(-5.0, -2.0)))
 
+    def _fixture_image(ds, i):
+        frame = ds.get_frame(i)
+        if mode == "APPEARANCE_RGB":
+            return frame
+        j = min(i, ds.N - 2)
+        return mode_image_host(frame, np.asarray(ds.flows[j], np.float32),
+                               mode, seed=i)
+
     def selector(p):
         total = 0.0
         for i in range(sel_ds.N):
-            boxes = detect_boxes(p, jnp.asarray(sel_ds.get_frame(i)),
+            boxes = detect_boxes(p, jnp.asarray(_fixture_image(sel_ds, i)),
                                  score_threshold=0.5)
             gtr = sel_ds.get_annotation(i)[0]
             valid = np.asarray(boxes.valid)
@@ -410,17 +434,18 @@ def train_yolo(steps: int = 2500, batch: int = 8,
 
     params, losses = _scan_chunks(run_chunk, params, opt_state,
                                   jax.random.PRNGKey(seed + 1), steps, chunk,
-                                  "yolo", selector=selector)
+                                  f"yolo[{mode}]", selector=selector)
     return params, losses
 
 
-def eval_yolo(params, n_frames: int = 12,
-              score_threshold: float = 0.5) -> Tuple[float, float]:
+def eval_yolo(params, n_frames: int = 12, score_threshold: float = 0.5,
+              mode: str = "APPEARANCE_RGB") -> Tuple[float, float]:
     """(mean IoU of the best box vs annotation, detection rate) on the
-    held-out host fixture."""
+    held-out host fixture, rendered through the mode's inference transform."""
     from mav_detection_tpu.core.rectangle import Rectangle
     from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
     from mav_detection_tpu.models.yolo import detect_boxes
+    from mav_detection_tpu.pipeline.mode_imagery import mode_image_host
 
     ds = SyntheticDataset(params=SyntheticParams(seed=779, n_frames=n_frames,
                                                  drone_radius=11,
@@ -429,7 +454,12 @@ def eval_yolo(params, n_frames: int = 12,
     ious = []
     hits = 0
     for i in range(n_frames):
-        boxes = detect_boxes(params, jnp.asarray(ds.get_frame(i)),
+        frame = ds.get_frame(i)
+        if mode != "APPEARANCE_RGB":
+            j = min(i, ds.N - 2)
+            frame = mode_image_host(frame, np.asarray(ds.flows[j], np.float32),
+                                    mode, seed=i)
+        boxes = detect_boxes(params, jnp.asarray(frame),
                              score_threshold=score_threshold)
         gt = ds.get_annotation(i)[0]
         valid = np.asarray(boxes.valid)
@@ -463,6 +493,12 @@ def main(argv=None) -> None:
                         help="loss upweight inside the (dilated) drone mask")
     parser.add_argument("--lr", type=float, default=0.0,
                         help="override peak LR (e.g. lower it when resuming)")
+    parser.add_argument("--yolo-mode", default="APPEARANCE_RGB",
+                        choices=["APPEARANCE_RGB", "FLOW_UV", "FLOW_RADIAL",
+                                 "FLOW_FOE_YOLO"],
+                        help="detection mode whose imagery TinyYOLO trains "
+                        "on; the checkpoint ships as yolo_<mode>.msgpack "
+                        "(reference: per-mode yolo_train_weights run-ids)")
     parser.add_argument("--eval-only", action="store_true")
     parser.add_argument("--resume", action="store_true",
                         help="initialize from the existing checkpoint")
@@ -513,15 +549,17 @@ def main(argv=None) -> None:
                     f"precomputed TPR {ptpr:.4f} FPR {pfpr:.4f}")
 
     if "yolo" in wanted:
+        mode = args.yolo_mode
+        ckpt = pretrained.checkpoint_path(pretrained.yolo_checkpoint_name(mode))
         if args.eval_only:
-            params = pretrained.load_yolo_params()
+            params = pretrained.load_yolo_params(mode)
             assert params is not None, "no yolo checkpoint"
         else:
             params, _ = train_yolo(steps=args.steps or 2500, batch=args.batch,
-                                   chunk=args.chunk, seed=args.seed)
-            checkpoint.save_msgpack(pretrained.checkpoint_path("yolo"), params)
-        iou, rate = eval_yolo(params)
-        logger.info(f"[yolo] held-out mean IoU {iou:.3f}, "
+                                   chunk=args.chunk, seed=args.seed, mode=mode)
+            checkpoint.save_msgpack(ckpt, params)
+        iou, rate = eval_yolo(params, mode=mode)
+        logger.info(f"[yolo:{mode}] held-out mean IoU {iou:.3f}, "
                     f"detection rate {rate:.2f}")
 
 

@@ -127,7 +127,7 @@ class Validator:
         from mav_detection_tpu.models import pretrained
         from mav_detection_tpu.models.yolo import detect_boxes
 
-        params = pretrained.load_yolo_params()
+        params = pretrained.load_yolo_params(self.config.mode.name)
         if params is None:
             raise RuntimeError(
                 "no TinyYOLO checkpoint found — train one with "
@@ -135,7 +135,7 @@ class Validator:
                 "YOLO_INFERENCE_HOST for remote inference")
 
         cache_dir = os.path.join(dataset.seq_path or ".", "bounding-boxes")
-        ckpt = pretrained.checkpoint_path("yolo")
+        ckpt = pretrained.resolve_yolo_checkpoint(self.config.mode.name)
         digest = (self.get_hash(ckpt) if os.path.exists(ckpt) else "live")
         digest += f"-{dataset.N}-{self.config.mode.name}"
         cache, json_path = self.check_cache(digest, cache_dir)
@@ -167,52 +167,19 @@ class Validator:
 
     def _mode_image(self, dataset, i: int):
         """Mode-appropriate NN inference input (reference
-        ``processor.py:114-131``): APPEARANCE_RGB feeds raw frames; FLOW_UV
-        feeds the flow-vis rendering; FLOW_RADIAL its hue-only (direction)
-        variant; FLOW_FOE_YOLO the ego-motion-subtracted residual magnitude —
-        the same transforms ``Processor.convert`` writes as the training set,
-        so inference sees the imagery the detector was trained on (round-2
-        weak #8: RGB was fed for every mode)."""
-        import numpy as _np
-
+        ``processor.py:114-131``), via the shared transform in
+        ``pipeline/mode_imagery.py`` — the same rendering the per-mode
+        training loop uses, so inference sees the imagery the detector was
+        trained on (round-2 weak #8: RGB was fed for every mode)."""
         from mav_detection_tpu.core.config import Mode
+        from mav_detection_tpu.pipeline.mode_imagery import mode_image_host
 
         frame = dataset.get_frame(i)
         if frame is None or self.config.mode == Mode.APPEARANCE_RGB:
             return frame
         j = min(i, dataset.N - 2)  # the final frame reuses the last pair
         flow = self._pair_flow(dataset, j)
-
-        from mav_detection_tpu.ops.image import flow_to_color
-        from mav_detection_tpu.ops.image.visualize import get_flow_radial
-
-        if self.config.mode == Mode.FLOW_UV:
-            return flow_to_color(flow)
-        if self.config.mode == Mode.FLOW_RADIAL:
-            return get_flow_radial(flow_to_color(flow))
-        # FLOW_FOE_YOLO: affine ego-motion fit -> residual magnitude
-        import jax as _jax
-        import jax.numpy as _jnp
-
-        from mav_detection_tpu.ops.geometry import (
-            affine_motion_field,
-            fit_affine_ransac,
-            subtract_global_motion,
-        )
-        from mav_detection_tpu.ops.image import to_rgb
-
-        h, w = flow.shape[:2]
-        rng = _np.random.default_rng(i)
-        sy = rng.integers(20, h - 20, 1000)
-        sx = rng.integers(20, w - 20, 1000)
-        p0 = _np.stack([sx, sy], 1).astype(_np.float32)
-        p1 = p0 + flow[sy, sx]
-        M, _ = fit_affine_ransac(_jnp.asarray(p0), _jnp.asarray(p1),
-                                 _jax.random.PRNGKey(i))
-        gm = affine_motion_field(M, h, w)
-        _, mag = subtract_global_motion(_jnp.asarray(flow), gm)
-        mag = _np.asarray(mag)
-        return to_rgb((mag * 255.0 / max(float(mag.max()), 1e-6)))
+        return mode_image_host(frame, flow, self.config.mode.name, seed=i)
 
     def _pair_flow(self, dataset, i: int) -> "np.ndarray":
         """Dense flow for pair (i, i+1): precomputed .flo when present, else

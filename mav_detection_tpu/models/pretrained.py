@@ -73,18 +73,47 @@ def load_sky_params() -> Optional[Any]:
     return params
 
 
-def load_yolo_params() -> Optional[Any]:
+def yolo_checkpoint_name(mode: Optional[str] = None) -> str:
+    """Checkpoint name for a detection mode — the analogue of the
+    reference's per-mode ``yolo_train_weights`` run-id map
+    (``/root/reference/settings.json:2-4``): ``yolo`` for APPEARANCE_RGB,
+    ``yolo_flow_uv`` etc. for the flow-imagery modes."""
+    if not mode or mode == "APPEARANCE_RGB":
+        return "yolo"
+    return f"yolo_{mode.lower()}"
+
+
+def resolve_yolo_checkpoint(mode: Optional[str] = None) -> str:
+    """Path of the checkpoint :func:`load_yolo_params` would use for this
+    mode: the per-mode file when shipped, else the RGB-trained fallback."""
+    path = checkpoint_path(yolo_checkpoint_name(mode))
+    if os.path.exists(path):
+        return path
+    return checkpoint_path("yolo")
+
+
+def load_yolo_params(mode: Optional[str] = None) -> Optional[Any]:
+    """TinyYOLO params for a detection mode, falling back to the
+    RGB-trained weights when no per-mode checkpoint is shipped."""
     from mav_detection_tpu.models import checkpoint
     from mav_detection_tpu.models.yolo import create_yolo
 
-    if "yolo" in _CACHE:
-        return _CACHE["yolo"]
-    path = checkpoint_path("yolo")
+    name = yolo_checkpoint_name(mode)
+    path = checkpoint_path(name)
     if not os.path.exists(path):
+        if name != "yolo":
+            logger.warning(
+                f"no per-mode YOLO checkpoint {path}; falling back to the "
+                "RGB-trained weights — train mode weights with "
+                f"`python -m mav_detection_tpu.cli.train --model yolo "
+                f"--yolo-mode {mode}`")
+            return load_yolo_params(None)
         return None
+    if name in _CACHE:
+        return _CACHE[name]
     _, like = create_yolo(image_hw=(64, 96))
     params = checkpoint.load_msgpack(path, like)
-    _CACHE["yolo"] = params
+    _CACHE[name] = params
     logger.info(f"loaded YOLO weights from {path}")
     return params
 

@@ -5,7 +5,9 @@ from mav_detection_tpu.ops.image.metrics import (
     calculate_tpr_fpr_batch,
 )
 from mav_detection_tpu.ops.image.visualize import (
+    flow_radial_device,
     flow_to_color,
+    flow_to_color_device,
     apply_colormap,
     to_int,
     to_rgb,
@@ -20,7 +22,9 @@ __all__ = [
     "get_rho",
     "calculate_tpr_fpr",
     "calculate_tpr_fpr_batch",
+    "flow_radial_device",
     "flow_to_color",
+    "flow_to_color_device",
     "apply_colormap",
     "to_int",
     "to_rgb",

@@ -197,3 +197,60 @@ def colorwheel_image(diameter: int = 250) -> np.ndarray:
     flow = np.stack([u, v], axis=-1).astype(np.float64)
     flow[outside] = 0
     return flow_to_color(flow)
+
+
+# ------------------------------------------------------------ device (JAX)
+def flow_to_color_device(flow_uv, rad_max=None):
+    """Jittable ``flow_to_color``: (h, w, 2) flow -> (h, w, 3) float32 BGR in
+    [0, 255] on device. Same Middlebury colorwheel math as the host version
+    (parity-tested); used to synthesize flow-vis training imagery for the
+    per-mode detection nets without a host round trip (the reference trains
+    its FLOW_UV/FLOW_RADIAL YOLO weights on files written by
+    ``Processor.convert``, ``/root/reference/src/processor.py:122-125``)."""
+    import jax.numpy as jnp
+
+    wheel = jnp.asarray(_COLORWHEEL, jnp.float32) / 255.0      # (ncols, 3) RGB
+    u = flow_uv[..., 0].astype(jnp.float32)
+    v = flow_uv[..., 1].astype(jnp.float32)
+    u = jnp.nan_to_num(u, nan=0.0, posinf=0.0, neginf=0.0)
+    v = jnp.nan_to_num(v, nan=0.0, posinf=0.0, neginf=0.0)
+    rad = jnp.sqrt(u * u + v * v)
+    rmax = jnp.max(rad) if rad_max is None else jnp.asarray(rad_max, jnp.float32)
+    eps = 1e-5
+    u = u / (rmax + eps)
+    v = v / (rmax + eps)
+    rad = jnp.sqrt(u * u + v * v)
+
+    ncols = wheel.shape[0]
+    a = jnp.arctan2(-v, -u) / jnp.pi
+    fk = (a + 1.0) / 2.0 * (ncols - 1)
+    k0 = jnp.floor(fk).astype(jnp.int32)
+    k1 = (k0 + 1) % ncols
+    f = (fk - k0)[..., None]
+    col = (1.0 - f) * wheel[k0] + f * wheel[k1]                # (h, w, 3) RGB
+    inside = (rad <= 1.0)[..., None]
+    col = jnp.where(inside, 1.0 - rad[..., None] * (1.0 - col), col * 0.75)
+    return jnp.floor(255.0 * col)[..., ::-1]                   # BGR
+
+
+def flow_radial_device(flow_uv):
+    """Jittable hue-only flow-direction view: the device analogue of
+    ``get_flow_radial(flow_to_color(flow))`` (S=V=1), computed directly from
+    the colorwheel color (whose adjacent entries always share a 255 and a 0
+    channel, so the interpolated color IS the pure-hue color) instead of a
+    quantize -> recover-hue round trip. Matches the host composite wherever
+    flow magnitude is large enough that uint8 quantization preserves hue."""
+    import jax.numpy as jnp
+
+    wheel = jnp.asarray(_COLORWHEEL, jnp.float32) / 255.0
+    u = flow_uv[..., 0].astype(jnp.float32)
+    v = flow_uv[..., 1].astype(jnp.float32)
+    ncols = wheel.shape[0]
+    a = jnp.arctan2(-v, -u) / jnp.pi
+    fk = (a + 1.0) / 2.0 * (ncols - 1)
+    k0 = jnp.floor(fk).astype(jnp.int32)
+    k1 = (k0 + 1) % ncols
+    f = (fk - k0)[..., None]
+    col = (1.0 - f) * wheel[k0] + f * wheel[k1]                # RGB, S=V=1
+    col = col / jnp.maximum(jnp.max(col, axis=-1, keepdims=True), 1e-6)
+    return jnp.floor(255.0 * col)[..., ::-1]                   # BGR

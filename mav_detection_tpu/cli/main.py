@@ -123,6 +123,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--host-index", type=int, default=None,
                         help="this host's index for --run-all sharding "
                              "(or MAV_HOST_INDEX)")
+    parser.add_argument("--use-sparse-of", action="store_true",
+                        help="fit the homography-branch transform on sparse "
+                             "LK feature tracks instead of sampled flow")
     parser.add_argument("--data-to-yolo", action="store_true",
                         help="convert annotations to the YOLO format")
     parser.add_argument("--undistort", action="store_true",
@@ -141,6 +144,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         mode=args.mode, algorithm=args.algorithm,
         flow_source=args.flow_source, batch_size=args.batch_size,
         devices=args.devices, engine=args.engine,
+        use_sparse_of=args.use_sparse_of,
         debug=args.debug, prepare_dataset=args.prepare_dataset,
         validate=args.validate, headless=args.headless,
         data_to_yolo=args.data_to_yolo, undistort=args.undistort)

@@ -107,6 +107,11 @@ class RunConfig:
     data_to_yolo: bool = False
     undistort: bool = False
     batch_size: int = 8
+    # use sparse LK feature tracks instead of grid-sampled flow as the
+    # transform-fit correspondences in the homography branch (the reference's
+    # ``Detector(use_sparse_of=...)`` constructor flag, detector.py:23,130-136
+    # — unreachable from its CLI; exposed here as ``--use-sparse-of``)
+    use_sparse_of: bool = False
     # number of devices for frame-batch data parallelism: 0 = single-device,
     # N > 1 = shard each frame batch over an N-device ``data`` mesh
     devices: int = 0

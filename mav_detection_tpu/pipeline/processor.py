@@ -352,6 +352,34 @@ class Processor:
             key = jax.random.fold_in(key, b0)
         return self.detection_results
 
+    def _sparse_correspondences(self, ds, i: int, p0: np.ndarray,
+                                p1: np.ndarray):
+        """Sparse-LK transform-fit correspondences (reference
+        ``detector.py:130-136``, the ``use_sparse_of`` constructor flag):
+        Shi–Tomasi corners on frame ``i`` tracked to ``i+1``. Slots whose
+        track fails keep the grid-flow correspondence passed in — both are
+        true correspondences, so the least-squares fit stays sound and every
+        shape stays static (one compiled program for the whole run)."""
+        from mav_detection_tpu.ops.flow.lucas_kanade import (
+            lucas_kanade_track,
+            shi_tomasi_corners,
+        )
+
+        g0 = bgr_to_gray(jnp.asarray(ds.get_frame(i))).astype(jnp.float32)
+        g1 = bgr_to_gray(jnp.asarray(ds.get_frame(i + 1))).astype(jnp.float32)
+        corners = shi_tomasi_corners(g0, max_corners=len(p0),
+                                     quality_level=0.01)
+        tracks = lucas_kanade_track(g0, g1, corners.points)
+        ok = np.asarray(corners.valid & tracks.status)
+        cp = np.asarray(corners.points)
+        tp = np.asarray(tracks.points)
+        n_ok = int(ok.sum())
+        self.logger.debug(f"features: {n_ok}")
+        if n_ok == 0:  # reference falls back to the sampled coords
+            return p0, p1
+        return (np.where(ok[:, None], cp, p0).astype(np.float32),
+                np.where(ok[:, None], tp, p1).astype(np.float32))
+
     def _homography_frame_batch(self, ds, batch_idx, flows, rng, border,
                                 h, w, key, out_dir) -> None:
         from mav_detection_tpu.core.rectangle import Rectangle
@@ -372,6 +400,8 @@ class Processor:
             sx = rng.integers(border, w - border, 1000)
             p0 = np.stack([sx, sy], 1).astype(np.float32)
             p1 = p0 + flow[sy, sx]
+            if self.config.use_sparse_of:
+                p0, p1 = self._sparse_correspondences(ds, i, p0, p1)
             H = fit_homography_lstsq(jnp.asarray(p0), jnp.asarray(p1))
             gm = homography_motion_field(H, h, w)
             residual, mag = subtract_global_motion(jnp.asarray(flow), gm)

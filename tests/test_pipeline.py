@@ -284,6 +284,62 @@ class TestHomographyBranch:
                                  / "processed" / "*.png"))
         assert len(mosaics) == SMALL.n_frames - 1
 
+    def test_homography_sparse_of(self, tmp_path, monkeypatch):
+        """--use-sparse-of: LK feature tracks replace the sampled-flow
+        correspondences (reference detector.py:130-136) and the branch still
+        produces a FrameResult per pair."""
+        from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
+
+        monkeypatch.chdir(tmp_path)
+        cfg = RunConfig(dataset="synthetic", mode="FLOW_FOE_CLUSTERING",
+                        algorithm="HOMOGRAPHY", flow_source="GROUND_TRUTH",
+                        use_sparse_of=True, headless=True)
+        cfg.get_dataset = lambda: SyntheticDataset(
+            params=SMALL, materialize_to=str(tmp_path))
+        proc = Processor(cfg)
+        results = proc.run_detection()
+        assert len(results) == SMALL.n_frames - 1
+        assert all(np.isfinite(fr.tpr) for fr in results.values())
+
+    def test_sparse_correspondences_recover_translation(self, tmp_path,
+                                                        monkeypatch):
+        """On a rigidly translating textured frame the LK correspondences fit
+        a homography whose motion field matches the true shift."""
+        from mav_detection_tpu.ops.geometry import (
+            fit_homography_lstsq,
+            homography_motion_field,
+        )
+
+        rng = np.random.default_rng(3)
+        base = rng.uniform(0, 255, (96, 128)).astype(np.float32)
+        import scipy.ndimage as ndi
+
+        tex = ndi.gaussian_filter(base, 2.0) * 4
+        f0 = np.repeat(tex[..., None], 3, -1).astype(np.uint8)
+        f1 = np.repeat(np.roll(tex, (2, 3), (0, 1))[..., None], 3,
+                       -1).astype(np.uint8)
+
+        class TwoFrames:
+            def get_frame(self, i):
+                return [f0, f1][i]
+
+        cfg = RunConfig(dataset="synthetic", use_sparse_of=True,
+                        algorithm="HOMOGRAPHY", headless=True)
+        proc = Processor.__new__(Processor)
+        proc.config = cfg
+        proc.logger = cfg.logger
+        grid = rng.uniform(20, 70, (200, 2)).astype(np.float32)
+        # production fallback slots carry the measured flow; here that is
+        # the known rigid shift
+        p0, p1 = proc._sparse_correspondences(
+            TwoFrames(), 0, grid, grid + np.float32([3.0, 2.0]))
+        assert not np.allclose(p0, grid)  # corners actually replaced slots
+        H = fit_homography_lstsq(jnp.asarray(p0), jnp.asarray(p1))
+        gm = np.asarray(homography_motion_field(H, 96, 128))
+        interior = gm[20:-20, 20:-20]
+        np.testing.assert_allclose(interior[..., 0].mean(), 3.0, atol=0.3)
+        np.testing.assert_allclose(interior[..., 1].mean(), 2.0, atol=0.3)
+
 
 class TestSparseFoe:
     def test_sparse_foe_from_tracks(self):

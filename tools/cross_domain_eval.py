@@ -25,9 +25,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_scene_metrics(h: int, w: int, seeds, iters: int = 12):
+def bench_scene_metrics(h: int, w: int, seeds, iters: int = 12,
+                        raft_params=None):
     """Flow EPE (overall + drone region), sky TPR/FPR, YOLO IoU on the
-    cv2-rendered bench family."""
+    cv2-rendered bench family. ``raft_params`` overrides the shipped RAFT
+    checkpoint (pass it when scoring a fine-tune candidate)."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -41,7 +43,8 @@ def bench_scene_metrics(h: int, w: int, seeds, iters: int = 12):
     from mav_detection_tpu.ops.flow import FarnebackParams, farneback_flow
     from mav_detection_tpu.ops.flow.lucas_kanade import lk_dense_flow
 
-    raft_p = pretrained.load_raft_params()
+    raft_p = (raft_params if raft_params is not None
+              else pretrained.load_raft_params())
     sky_p = pretrained.load_sky_params()
     yolo_p = pretrained.load_yolo_params()
     scale = min(h / bench.H, w / bench.W)
@@ -100,9 +103,14 @@ def bench_scene_metrics(h: int, w: int, seeds, iters: int = 12):
     return {k: (float(sum(v) / len(v)) if v else None) for k, v in out.items()}
 
 
-def mock_sim_metrics(h: int = 96, w: int = 128, iters: int = 12):
+def mock_sim_metrics(h: int = 96, w: int = 128, iters: int = 12,
+                     raft_params=None):
     """Flow EPE vs matrices+depth GT on mock-simulator captures; YOLO IoU vs
-    the segmentation bbox; sky TPR/FPR vs the far-depth band."""
+    the segmentation bbox; sky TPR/FPR vs the far-depth band.
+
+    ``raft_params`` overrides the shipped RAFT checkpoint — candidate
+    evaluation MUST pass it (a fine-tune gate that lets this default to the
+    shipped weights compares shipped to shipped and always passes)."""
     import numpy as np
 
     import jax.numpy as jnp
@@ -125,7 +133,8 @@ def mock_sim_metrics(h: int = 96, w: int = 128, iters: int = 12):
     c.drones["Drone1"].velocity = np.array([2.0, 0.3, 0.0])
     c.drones["Drone2"].velocity = np.array([-1.2, 0.8, 0.0])
 
-    raft_p = pretrained.load_raft_params()
+    raft_p = (raft_params if raft_params is not None
+              else pretrained.load_raft_params())
     sky_p = pretrained.load_sky_params()
     yolo_p = pretrained.load_yolo_params()
     out = {k: [] for k in ("raft_epe", "raft_drone_epe", "fb_epe",

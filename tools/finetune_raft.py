@@ -48,7 +48,7 @@ def cross_domain(params) -> dict:
         depes.append(float(err[drone].mean()))
     out["bench_epe"] = sum(epes) / len(epes)
     out["bench_drone_epe"] = sum(depes) / len(depes)
-    sim = mock_sim_metrics(iters=12)
+    sim = mock_sim_metrics(iters=12, raft_params=params)
     out["sim_epe"] = sim["raft_epe"]
     out["sim_drone_epe"] = sim["raft_drone_epe"]
     return out
@@ -61,6 +61,10 @@ def main() -> None:
     ap.add_argument("--drone-weight", type=float, default=40.0)
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--candidate", default="/tmp/raft_candidate.msgpack")
+    ap.add_argument("--init", default="",
+                    help="resume training from this msgpack instead of the "
+                         "shipped checkpoint (gates still compare against "
+                         "shipped)")
     ap.add_argument("--ship", action="store_true",
                     help="overwrite the repo checkpoint if all gates pass")
     args = ap.parse_args()
@@ -84,8 +88,13 @@ def main() -> None:
     cd0 = cross_domain(shipped)
     log.info(f"shipped: eval EPE {epe0:.4f} drone {depe0:.4f} | {json.dumps(cd0)}")
 
+    init = shipped
+    if args.init:
+        init = checkpoint.load_msgpack(args.init, shipped)
+        log.info(f"resuming from {args.init}")
+
     params, _ = train_raft(steps=args.steps, chunk=args.chunk,
-                           peak_lr=args.lr, init_params=shipped,
+                           peak_lr=args.lr, init_params=init,
                            drone_weight=args.drone_weight,
                            save_best_to=args.candidate)
     checkpoint.save_msgpack(args.candidate, params)

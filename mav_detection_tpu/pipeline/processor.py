@@ -504,6 +504,11 @@ class Processor:
         if self.config.engine == "chunked":
             if self.mesh is None:
                 raise ValueError("--engine chunked requires --devices > 1")
+            if self.config.use_sparse_of:
+                self.logger.warning(
+                    "--use-sparse-of ignored with --engine chunked: LK trace "
+                    "state spans chunk boundaries and cannot ride the "
+                    "one-frame halo — use --engine scan")
             n_dev = self.mesh.devices.size
             pad = (-T) % n_dev
 
@@ -518,11 +523,24 @@ class Processor:
                 jnp.asarray(padf(gt_foes)), key, params=self._farneback,
                 config=DetectionStep())
         else:
-            scal, _ = detect_sequence_scan(
+            out = detect_sequence_scan(
                 jnp.asarray(frames), jnp.asarray(omegas), jnp.asarray(dts),
                 jnp.asarray(segs), jnp.asarray(skys), jnp.asarray(depths),
                 jnp.asarray(gt_foes), key, params=self._farneback,
-                config=DetectionStep())
+                config=DetectionStep(),
+                track_sparse=self.config.use_sparse_of)
+            scal = out[0]
+            if self.config.use_sparse_of:
+                # reference FrameResult has no sparse-FoE field — keep the
+                # JSON schema and record the trace-based FoE as a sidecar
+                foe_sparse = np.asarray(out[2])
+                if ds.seq_path:
+                    create_if_not_exists(ds.results_path)
+                    np.save(os.path.join(ds.results_path, "foe_sparse.npy"),
+                            foe_sparse)
+                self.logger.info(
+                    f"sparse FoE (LK traces): median "
+                    f"{np.nanmedian(foe_sparse, axis=0)}")
 
         foe = np.asarray(scal.foe)
         results_dir = ds.results_path if ds.seq_path else ""

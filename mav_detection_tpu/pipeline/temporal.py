@@ -10,9 +10,12 @@ TPU-native equivalents:
   ``lax.scan`` over time carrying the FlowHistory temporal state; per-frame
   outputs stack into batch-shaped arrays. The scan body is the same fused
   detection step as the batched path, so stateless metrics are identical.
-  (The sparse-FoE TraceState machinery lives in ``ops.geometry.foe`` and is
-  exercised standalone; it is not carried by this engine — the reference
-  keeps sparse FoE off its default path too, focus_of_expansion.py:88-148.)
+  With ``track_sparse=True`` the carry additionally holds the LK FeaturePool
+  and the sparse-FoE TraceState ring (reference LK traces with per-track
+  rollback, focus_of_expansion.py:88-148): each transition tracks the pool,
+  replenishes dead slots from Shi–Tomasi corners, pushes into the trace
+  ring, and emits a per-frame trace-based FoE alongside the dense one. The
+  reference keeps sparse FoE off its default path; so does this engine.
 * ``detect_video_chunked`` — shard a long sequence over the mesh as
   contiguous time chunks. The only inter-frame dependency in the default FoE
   path is the (i-1, i) flow pair, so each device needs exactly ONE halo
@@ -29,10 +32,20 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mav_detection_tpu.ops.flow.farneback import FarnebackParams, _farneback_hwb
+from mav_detection_tpu.ops.flow.lucas_kanade import (
+    FeaturePool,
+    lucas_kanade_track,
+    replenish_features,
+)
 from mav_detection_tpu.ops.geometry.boxsearch import (
     FlowHistory,
     make_flow_history,
     push_flow,
+)
+from mav_detection_tpu.ops.geometry.foe import (
+    get_foe_sparse_traced,
+    trace_init,
+    trace_update,
 )
 from mav_detection_tpu.pipeline.detector import (
     DetectionStep,
@@ -48,7 +61,8 @@ def _flow_pair(prev: jax.Array, curr: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("params", "config",
-                                             "history_len"))
+                                             "history_len", "track_sparse",
+                                             "n_tracks"))
 def detect_sequence_scan(
     frames: jax.Array,        # (T, h, w) grayscale sequence
     omegas: jax.Array,        # (T, 3) angular difference per transition
@@ -61,11 +75,17 @@ def detect_sequence_scan(
     params: FarnebackParams = FarnebackParams(warp="separable", fast=True),
     config: DetectionStep = DetectionStep(),
     history_len: int = 4,
-) -> Tuple[FrameScalars, FlowHistory]:
+    track_sparse: bool = False,
+    n_tracks: int = 256,
+):
     """Scan the detection step over T-1 frame transitions with carried state.
 
     Returns per-transition FrameScalars (leading axis T-1) and the final
     FlowHistory (the temporal state the reference keeps in Python objects).
+    With ``track_sparse=True`` additionally returns the (T-1, 2) trace-based
+    sparse FoE per transition (reference get_FOE_sparse + trace rollback,
+    focus_of_expansion.py:88-148) — the carry then also holds the LK
+    FeaturePool and the TraceState ring.
     """
     T, h, w = frames.shape
     # per-transition keys derive from the GLOBAL transition index so the
@@ -73,7 +93,10 @@ def detect_sequence_scan(
     keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(1, T))
 
     def body(carry, inputs):
-        prev_frame, history = carry
+        if track_sparse:
+            prev_frame, history, pool, tstate = carry
+        else:
+            prev_frame, history = carry
         (curr_frame, omega, dt, seg, sky, depth, gt_foe, k) = inputs
         flow = _flow_pair(prev_frame, curr_frame, params)
         history = push_flow(history, flow)
@@ -85,14 +108,38 @@ def detect_sequence_scan(
             sky_fpr=out.sky_fpr, drone_size_pixels=out.drone_size_pixels,
             drone_flow_pixels=out.drone_flow_pixels,
             center_phi=out.center_phi)
-        return (curr_frame, history), scalars
+        if not track_sparse:
+            return (curr_frame, history), scalars
+        # LK-trace sparse FoE: track the pool, replenish dead slots from
+        # fresh corners (fixed shapes — only invalid slots refresh), push
+        # into the trace ring, intersect rolled-back motion lines.
+        tracks = lucas_kanade_track(prev_frame, curr_frame, pool.points)
+        alive = pool.valid & tracks.status
+        pool = replenish_features(FeaturePool(tracks.points, alive),
+                                  curr_frame, max_corners=n_tracks)
+        new_track = ~alive & pool.valid
+        tstate = trace_update(tstate, pool.points, pool.valid, new_track)
+        foe_sparse = get_foe_sparse_traced(tstate)
+        return (curr_frame, history, pool, tstate), (scalars, foe_sparse)
 
-    init = (frames[0].astype(jnp.float32),
-            make_flow_history(history_len, h, w))
+    f0 = frames[0].astype(jnp.float32)
+    init = (f0, make_flow_history(history_len, h, w))
+    if track_sparse:
+        pool0 = replenish_features(
+            FeaturePool(jnp.zeros((n_tracks, 2), jnp.float32),
+                        jnp.zeros((n_tracks,), bool)),
+            f0, max_corners=n_tracks)
+        tstate0 = trace_update(trace_init(n_tracks), pool0.points,
+                               pool0.valid, jnp.zeros((n_tracks,), bool))
+        init = init + (pool0, tstate0)
     xs = (frames[1:].astype(jnp.float32), omegas[1:], dts[1:],
           segmentations[1:], sky_masks[1:], depths[1:], gt_foes[1:], keys)
-    (_, history), scalars = jax.lax.scan(body, init, xs)
-    return scalars, history
+    carry, ys = jax.lax.scan(body, init, xs)
+    history = carry[1]
+    if track_sparse:
+        scalars, foe_sparse = ys
+        return scalars, history, foe_sparse
+    return ys, history
 
 
 def detect_video_chunked(

@@ -61,6 +61,29 @@ class TestSequenceScan:
         # the history holds real flow (nonzero), index wrapped correctly
         assert float(jnp.abs(history.buffer).max()) > 0.1
 
+    def test_scan_sparse_foe_traces(self, seq):
+        """track_sparse=True: the scan carries the LK FeaturePool + trace
+        ring and emits a per-transition trace-based sparse FoE (reference
+        get_FOE_sparse + rollback, focus_of_expansion.py:88-148). On the
+        expanding scene the traces' motion lines must converge near the GT
+        FoE once tracks accumulate baseline."""
+        scal, history, foe_sparse = detect_sequence_scan(
+            *seq, jax.random.PRNGKey(0), params=PARAMS, config=CONFIG,
+            history_len=4, track_sparse=True, n_tracks=128)
+        T = seq[0].shape[0]
+        fs = np.asarray(foe_sparse)
+        assert fs.shape == (T - 1, 2)
+        assert np.isfinite(fs).all()
+        # skip the warm-up transitions (rollback baseline still short)
+        err = np.linalg.norm(fs[4:] - np.array([70.0, 45.0]), axis=-1)
+        assert np.median(err) < 25.0
+        # dense-path outputs are unchanged by the extra carried state
+        scal_plain, _ = detect_sequence_scan(
+            *seq, jax.random.PRNGKey(0), params=PARAMS, config=CONFIG,
+            history_len=4)
+        np.testing.assert_allclose(np.asarray(scal.foe),
+                                   np.asarray(scal_plain.foe), atol=1e-4)
+
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
     def test_chunked_matches_scan(self, seq):
         """Chunked sharding over 8 devices must reproduce the serial scan's

@@ -97,7 +97,7 @@ def train_raft(steps: int = 4000, batch: int = 8,
                hw: Tuple[int, int] = (128, 160), iters: int = 8,
                peak_lr: float = 2.5e-4, chunk: int = 100, seed: int = 0,
                init_params=None, save_best_to: str = "",
-               drone_weight: float = 40.0):
+               drone_weight: float = 40.0, sin_blend: float = 0.6):
     import optax
 
     from mav_detection_tpu.data.synthgen import generate_scene
@@ -138,7 +138,7 @@ def train_raft(steps: int = 4000, batch: int = 8,
         def body(carry, _):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
-            scenes = jax.vmap(lambda k: generate_scene(k, h, w))(
+            scenes = jax.vmap(lambda k: generate_scene(k, h, w, sin_blend))(
                 jax.random.split(sub, batch))
             loss, grads = jax.value_and_grad(loss_fn)(params, scenes)
             updates, opt_state = opt.update(grads, opt_state, params)
@@ -427,7 +427,7 @@ def train_yolo(steps: int = 2500, batch: int = 8,
             for j in range(len(valid)):
                 if valid[j]:
                     x, y, bw, bh = xywh[j]
-                    best = max(best, Rectangle.calculate_iou(
+                    best = max(best, Rectangle.calculate_iou_safe(
                         Rectangle((x - bw / 2, y - bh / 2), (bw, bh)), gtr))
             total += best
         return total / sel_ds.N
@@ -469,7 +469,7 @@ def eval_yolo(params, n_frames: int = 12, score_threshold: float = 0.5,
                 continue
             x, y, bw, bh = np.asarray(boxes.xywh[j])
             rect = Rectangle((x - bw / 2, y - bh / 2), (bw, bh))
-            best = max(best, Rectangle.calculate_iou(rect, gt))
+            best = max(best, Rectangle.calculate_iou_safe(rect, gt))
         ious.append(best)
         hits += best > 0.25
     return float(np.mean(ious)), hits / n_frames

@@ -85,6 +85,12 @@ class Rectangle:
     # -- metrics -----------------------------------------------------------
     @classmethod
     def calculate_iou(cls, r1: "Rectangle", r2: "Rectangle") -> float:
+        """Reference-exact IoU (``/root/reference/src/utils.py:86-104``),
+        INCLUDING its disjoint-box defect: when the boxes do not overlap both
+        edge differences go negative and their product is a bogus positive
+        "intersection" (IoU can even exceed 1 against a tiny clamped-area
+        box). Kept bit-compatible for result parity; anything that *scores*
+        with IoU must use :meth:`calculate_iou_safe`."""
         left = max(r1.get_left(), r2.get_left())
         right = min(r1.get_right(), r2.get_right())
         bottom = min(r1.get_bottom(), r2.get_bottom())
@@ -92,6 +98,20 @@ class Rectangle:
         aoo = (right - left) * (bottom - top)
         aou = r1.get_area() + r2.get_area() - aoo
         return aoo / aou
+
+    @classmethod
+    def calculate_iou_safe(cls, r1: "Rectangle", r2: "Rectangle") -> float:
+        """True IoU: 0 for disjoint boxes (fixes calculate_iou's
+        negative-times-negative intersection). Use for every selection /
+        gating / reported-accuracy purpose."""
+        left = max(r1.get_left(), r2.get_left())
+        right = min(r1.get_right(), r2.get_right())
+        bottom = min(r1.get_bottom(), r2.get_bottom())
+        top = max(r1.get_top(), r2.get_top())
+        if right <= left or bottom <= top:
+            return 0.0
+        aoo = (right - left) * (bottom - top)
+        return aoo / (r1.get_area() + r2.get_area() - aoo)
 
 
 def parse_yolo_annotation(path: str, img_size: np.ndarray, min_area: float = 1.0) -> List[Rectangle]:

@@ -88,14 +88,20 @@ def _drone_sprite(xs, ys, pos, radius, style):
     return mask, sprite
 
 
-def generate_scene(key: jax.Array, h: int, w: int) -> SynthScene:
+def generate_scene(key: jax.Array, h: int, w: int,
+                   sin_blend: float = 0.6) -> SynthScene:
     """Sample one scene. All shapes static; every parameter traced.
 
     Textures, brightness ranges, sprite style, and noise are domain-
     randomized (continuous blur-spectrum mixing, traced range endpoints):
     measured on the held-out host fixture, a generator with FIXED values
     overfits within a few thousand steps (sky TPR collapsed 0.87 -> 0.0
-    between 1.5k and 8k steps before randomization)."""
+    between 1.5k and 8k steps before randomization).
+
+    ``sin_blend`` caps the sinusoidal-grid texture family's blend weight
+    (cross-domain broadening); 0 restores the pure blurred-noise family the
+    in-family eval fixture is drawn from — fine-tune polishes anneal it down
+    when in-family EPE drifts."""
     ks = jax.random.split(key, 20)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -116,7 +122,7 @@ def generate_scene(key: jax.Array, h: int, w: int) -> SynthScene:
         sin_tex = (jnp.sin(kxy[0] * xs + sp[2] * 6.2832)
                    * jnp.cos(kxy[1] * ys + sp[3] * 6.2832)
                    + 0.5 * jnp.sin(2.7 * kxy[1] * xs + 1.9 * kxy[0] * ys))
-        b = 0.6 * sp[4]                              # sinusoid blend 0..0.6
+        b = sin_blend * sp[4]                        # sinusoid blend 0..cap
         tex = (1 - b) * _normalize(tex, 0.0, 1.0) + b * _normalize(sin_tex, 0.0, 1.0)
         u = jax.random.uniform(km, (2,))
         lo = lo_rng[0] + u[0] * (lo_rng[1] - lo_rng[0])

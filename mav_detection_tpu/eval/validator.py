@@ -92,7 +92,7 @@ class Validator:
             best = 0.0
             for _, _, rect in detections.get(i, []):
                 for gt in gts:
-                    best = max(best, Rectangle.calculate_iou(rect, gt))
+                    best = max(best, Rectangle.calculate_iou_safe(rect, gt))
             ious.append(best)
         iou_arr = np.asarray(ious)
         detected = iou_arr > 0.25

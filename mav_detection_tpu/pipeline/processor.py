@@ -414,7 +414,7 @@ class Processor:
             rect = Rectangle((float(bx[0]), float(bx[1])),
                              (float(bx[2]), float(bx[3])))
             gts = ds.get_annotation(i)
-            iou = max((Rectangle.calculate_iou(rect, gt) for gt in gts),
+            iou = max((Rectangle.calculate_iou_safe(rect, gt) for gt in gts),
                       default=0.0)
 
             fr = FrameResult(time=float(ds.get_time(i)), tpr=float(iou))

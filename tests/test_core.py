@@ -34,6 +34,23 @@ class TestRectangle:
         r = Rectangle((0, 0), (0.5, 0.5))
         assert r.get_area() == 1.0
 
+    def test_iou_disjoint_reference_defect_preserved(self):
+        """calculate_iou keeps the reference's disjoint-box defect
+        (utils.py:86-104: both edge deltas negative -> bogus positive
+        intersection); calculate_iou_safe returns the true 0."""
+        r1 = Rectangle((0, 0), (10, 10))
+        r2 = Rectangle((50, 50), (10, 10))
+        assert Rectangle.calculate_iou(r1, r2) > 0  # the preserved defect
+        assert Rectangle.calculate_iou_safe(r1, r2) == 0.0
+
+    def test_iou_safe_matches_iou_when_overlapping(self):
+        r1 = Rectangle((0, 0), (10, 10))
+        r2 = Rectangle((5, 0), (10, 10))
+        assert Rectangle.calculate_iou_safe(r1, r2) == pytest.approx(
+            Rectangle.calculate_iou(r1, r2))
+        r = Rectangle((10, 10), (20, 20))
+        assert Rectangle.calculate_iou_safe(r, r) == pytest.approx(1.0)
+
     def test_accessors(self):
         r = Rectangle((3, 4), (10, 20))
         assert r.get_bottomright() == (13, 24)

@@ -81,5 +81,5 @@ class TestYoloAtScale:
             x, y, bw, bh = np.asarray(boxes.xywh[j])
             rect = Rectangle(((x - bw / 2) * sx, (y - bh / 2) * sy),
                              (bw * sx, bh * sy))
-            best = max(best, Rectangle.calculate_iou(rect, gt_rect))
+            best = max(best, Rectangle.calculate_iou_safe(rect, gt_rect))
         assert best > 0.3, best

@@ -97,7 +97,7 @@ def bench_scene_metrics(h: int, w: int, seeds, iters: int = 12,
             for j in range(len(valid)):
                 if valid[j]:
                     x, y, bw, bh = np.asarray(boxes.xywh[j])
-                    best = max(best, Rectangle.calculate_iou(
+                    best = max(best, Rectangle.calculate_iou_safe(
                         Rectangle((x - bw / 2, y - bh / 2), (bw, bh)), gt_rect))
             out["yolo_iou"].append(best)
     return {k: (float(sum(v) / len(v)) if v else None) for k, v in out.items()}
@@ -200,7 +200,7 @@ def mock_sim_metrics(h: int = 96, w: int = 128, iters: int = 12,
             for j in range(len(valid)):
                 if valid[j]:
                     x, y, bw, bh = np.asarray(boxes.xywh[j])
-                    best = max(best, Rectangle.calculate_iou(
+                    best = max(best, Rectangle.calculate_iou_safe(
                         Rectangle((x - bw / 2, y - bh / 2), (bw, bh)), gt_rect))
             out["yolo_iou"].append(best)
     return {k: (float(sum(v) / len(v)) if v else None) for k, v in out.items()}

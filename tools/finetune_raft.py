@@ -59,6 +59,9 @@ def main() -> None:
     ap.add_argument("--steps", type=int, default=2000)
     ap.add_argument("--lr", type=float, default=8e-5)
     ap.add_argument("--drone-weight", type=float, default=40.0)
+    ap.add_argument("--sin-blend", type=float, default=0.6,
+                    help="cap on the sinusoid texture blend in the training "
+                         "generator (0 = pure in-family blurred noise)")
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--candidate", default="/tmp/raft_candidate.msgpack")
     ap.add_argument("--init", default="",
@@ -96,6 +99,7 @@ def main() -> None:
     params, _ = train_raft(steps=args.steps, chunk=args.chunk,
                            peak_lr=args.lr, init_params=init,
                            drone_weight=args.drone_weight,
+                           sin_blend=args.sin_blend,
                            save_best_to=args.candidate)
     checkpoint.save_msgpack(args.candidate, params)
 

@@ -101,7 +101,7 @@ def main() -> None:
         x, y, bw, bh = np.asarray(boxes.xywh[j])
         rect = Rectangle(((x - bw / 2) * sx, (y - bh / 2) * sy),
                          (bw * sx, bh * sy))
-        best = max(best, Rectangle.calculate_iou(rect, gt_rect))
+        best = max(best, Rectangle.calculate_iou_safe(rect, gt_rect))
     ms = amortized_ms(
         lambda x: detect_boxes(yolo_p, x).xywh.astype(jnp.float32), img)
     print(f"yolo @480x256 (downscaled from 1920x1024): IoU {best:.3f} "

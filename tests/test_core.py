@@ -38,10 +38,16 @@ class TestRectangle:
         """calculate_iou keeps the reference's disjoint-box defect
         (utils.py:86-104: both edge deltas negative -> bogus positive
         intersection); calculate_iou_safe returns the true 0."""
+        # barely disjoint: deltas -2 x -2 -> bogus +4 intersection, IoU > 0
         r1 = Rectangle((0, 0), (10, 10))
-        r2 = Rectangle((50, 50), (10, 10))
-        assert Rectangle.calculate_iou(r1, r2) > 0  # the preserved defect
+        r2 = Rectangle((12, 12), (10, 10))
+        assert Rectangle.calculate_iou(r1, r2) == pytest.approx(4 / 196)
         assert Rectangle.calculate_iou_safe(r1, r2) == 0.0
+        # far apart: bogus intersection exceeds the areas, union flips
+        # negative -> nonsense negative IoU (still the reference's math)
+        r3 = Rectangle((50, 50), (10, 10))
+        assert Rectangle.calculate_iou(r1, r3) < 0
+        assert Rectangle.calculate_iou_safe(r1, r3) == 0.0
 
     def test_iou_safe_matches_iou_when_overlapping(self):
         r1 = Rectangle((0, 0), (10, 10))

@@ -1,0 +1,116 @@
+"""Client <-> server loop for the in-repo TinyYOLO REST sidecar.
+
+The reference validated NN modes against an external YOLOv4 HTTP server
+(client at ``/root/reference/src/validator.py:61-93``); here the same
+protocol is served by :mod:`mav_detection_tpu.serve`, so the shipped client
+talks to our own on-device stack. These tests run the REAL client
+(``Validator.get_inference`` via requests) against a live in-process server.
+"""
+import json
+import threading
+
+import numpy as np
+import pytest
+
+from mav_detection_tpu.core.config import RunConfig
+from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
+from mav_detection_tpu.eval.validator import Validator
+from mav_detection_tpu.serve import YoloInferenceEngine, create_server
+
+SMALL = SyntheticParams(height=120, width=160, n_frames=8)
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    server = create_server(port=0)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    host, port = server.server_address
+    yield f"http://{host}:{port}"
+    server.shutdown()
+
+
+@pytest.fixture(scope="module")
+def frames():
+    ds = SyntheticDataset(params=SMALL)
+    return np.stack([np.asarray(ds.get_frame(i)) for i in range(4)])
+
+
+class TestServeProtocol:
+    def test_config_endpoint(self, server_url):
+        import requests
+
+        cfg = requests.get(f"{server_url}/config").json()
+        assert "start_time" in cfg and float(cfg["start_time"]) > 0
+
+    def test_client_roundtrip_matches_direct_inference(
+            self, server_url, frames, tmp_path):
+        """The shipped HTTP client against our server returns the same box
+        strings as calling the engine directly."""
+        media = tmp_path / "video.npz"
+        np.savez(media, frames=frames)
+
+        cfg = RunConfig(dataset="synthetic", mode="FLOW_FOE_YOLO",
+                        headless=True)
+        v = Validator(cfg, host=server_url)
+        boxes = v.get_inference(str(media), str(tmp_path / "out.npz"))
+        assert set(boxes.keys()) == {str(i) for i in range(len(frames))}
+
+        direct = YoloInferenceEngine().predict(frames)
+        assert boxes == direct
+
+        # parse through the shipped box-string parser
+        parsed = Validator.parse_frames(boxes)
+        assert set(parsed.keys()) == set(range(len(frames)))
+
+        # annotated media mirrors the input container and shape
+        with np.load(tmp_path / "out.npz") as z:
+            assert z["frames"].shape == frames.shape
+
+        # second call is served from the content-hash cache (reference
+        # validator.py:66-69 idiom): cached JSON exists and matches
+        cached = v.get_inference(str(media), str(tmp_path / "out.npz"))
+        assert cached == boxes
+        cache_files = list((tmp_path / "bounding-boxes").glob("*.json"))
+        assert cache_files, "content-hash cache file not written"
+        assert json.loads(cache_files[0].read_text()) == boxes
+
+    def test_use_default_weights_param(self, server_url, frames, tmp_path):
+        """use_default_weights=True selects the RGB fallback checkpoint
+        (same weights as mode=None here, so the call must succeed and
+        return every frame key)."""
+        import requests
+
+        media = tmp_path / "v.npz"
+        np.savez(media, frames=frames[:2])
+        with open(media, "rb") as fh:
+            r = requests.post(f"{server_url}/predict_video",
+                              params=(("use_default_weights", True),),
+                              files={"video": ("v.npz", fh)})
+        assert r.status_code == 200
+        boxes = requests.get(f"{server_url}/predict_video_boxes").json()
+        assert set(boxes.keys()) == {"0", "1"}
+
+    def test_bad_media_is_a_client_error(self, server_url):
+        import requests
+
+        r = requests.post(f"{server_url}/predict_video",
+                          files={"video": ("x.bin", b"not media")})
+        assert r.status_code == 400
+        assert "error" in r.json()
+
+
+class TestEngine:
+    def test_ragged_tail_padding(self, frames):
+        """n % batch != 0: the tail chunk edge-pads to one executable and
+        the padded frames do NOT appear in the result."""
+        eng = YoloInferenceEngine(batch=8)
+        out = eng.predict(frames[:3])
+        assert set(out.keys()) == {"0", "1", "2"}
+
+    def test_batched_equals_single(self, frames):
+        """Batched (vmapped) inference produces the identical box strings
+        as batch=1 — the chunking is pure orchestration."""
+        a = YoloInferenceEngine(batch=8).predict(frames)
+        b = YoloInferenceEngine(batch=1).predict(frames)
+        assert a == b

@@ -78,8 +78,15 @@ class Validator:
         emit ``ious.png`` + summary stats (reference
         ``validator.py:95-118,154-161``)."""
         if os.environ.get("YOLO_INFERENCE_HOST"):
-            video = os.path.join(self.dataset.seq_path, "video.mp4")
-            raw = self.get_inference(video, video.replace(".mp4", "-out.mp4"))
+            # prefer the codec-free npz container (what our in-repo server
+            # serves natively) over the reference's video.mp4
+            npz = os.path.join(self.dataset.seq_path, "video.npz")
+            if os.path.exists(npz):
+                raw = self.get_inference(npz, npz.replace(".npz", "-out.npz"))
+            else:
+                video = os.path.join(self.dataset.seq_path, "video.mp4")
+                raw = self.get_inference(video,
+                                         video.replace(".mp4", "-out.mp4"))
         else:
             raw = self.run_local_inference(self.dataset)
         detections = self.parse_frames(raw)

@@ -752,7 +752,12 @@ class Processor:
 
     def _encode_video(self, img_dir: str, out_path: str, fps: int = 30) -> None:
         """png sequence -> mp4 via ffmpeg if available (reference writes
-        processed.mp4; we keep the artifact, gated on the binary)."""
+        processed.mp4; we keep the artifact, gated on the binary), plus a
+        codec-free ``video.npz`` sidecar of the same frames — the container
+        the in-repo inference server (:mod:`mav_detection_tpu.serve`) and
+        the validator's remote branch consume when no mp4 codec exists."""
+        self._encode_npz(img_dir,
+                         os.path.join(os.path.dirname(out_path), "video.npz"))
         if shutil.which("ffmpeg") is None:
             return
         cmd = ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
@@ -762,6 +767,22 @@ class Processor:
             subprocess.call(cmd)
         except Exception as e:  # pragma: no cover
             self.logger.warning(f"video encode failed: {e}")
+
+    def _encode_npz(self, img_dir: str, out_path: str) -> None:
+        """png sequence -> single ``video.npz`` (key ``frames``)."""
+        import glob
+
+        import cv2
+
+        pngs = sorted(glob.glob(os.path.join(img_dir, "image_*.png")))
+        if not pngs:
+            return
+        frames = [cv2.imread(p) for p in pngs]
+        shapes = {f.shape for f in frames if f is not None}
+        if len(shapes) != 1:
+            self.logger.warning(f"npz encode skipped: ragged frames {shapes}")
+            return
+        np.savez_compressed(out_path, frames=np.stack(frames))
 
     # ----------------------------------------------- dataset conversion
     def annotation_to_yolo(self, rects) -> str:

@@ -100,6 +100,37 @@ class TestServeProtocol:
         assert "error" in r.json()
 
 
+class TestRemoteValidationLoop:
+    def test_processor_to_server_to_stats(self, server_url, tmp_path,
+                                          monkeypatch):
+        """The reference's full remote-NN loop, hermetic: the Processor
+        writes the processed sequence plus a codec-free ``video.npz``; the
+        Validator's remote branch (YOLO_INFERENCE_HOST) posts it to the live
+        server through the shipped requests client and produces IoU stats —
+        the workflow the reference needed an external CUDA container for."""
+        from mav_detection_tpu.pipeline.processor import Processor
+
+        monkeypatch.chdir(tmp_path)
+        cfg = RunConfig(dataset="synthetic", mode="FLOW_FOE_YOLO",
+                        flow_source="GROUND_TRUTH", headless=True)
+        cfg.get_dataset = lambda: SyntheticDataset(
+            params=SMALL, materialize_to=str(tmp_path))
+        proc = Processor(cfg)
+        proc.run_detection()
+        ds = cfg.get_dataset()
+        npz = f"{ds.seq_path}/video.npz"
+        import os
+        assert os.path.exists(npz), "processor did not write video.npz"
+
+        monkeypatch.setenv("YOLO_INFERENCE_HOST", server_url)
+        v = Validator(cfg, host=server_url)
+        v.dataset = ds
+        stats = v.run_nn_validation()
+        assert "iou_mean" in stats
+        # annotated media came back from the server
+        assert os.path.exists(npz.replace(".npz", "-out.npz"))
+
+
 class TestEngine:
     def test_ragged_tail_padding(self, frames):
         """n % batch != 0: the tail chunk edge-pads to one executable and

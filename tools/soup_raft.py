@@ -72,8 +72,10 @@ def main() -> None:
                  f"det TPR {rtpr:.4f}/{gtpr:.4f} | {json.dumps(cd1)} | "
                  f"gates {json.dumps(gates)}")
         if all(gates.values()):
-            # among passers prefer the lowest combined in-family EPE
-            score = epe1 + depe1
+            # among passers prefer the best worst-case drone-region EPE
+            # across the three scene families — the detection-critical
+            # region is what the framework exists for
+            score = max(depe1, cd1["bench_drone_epe"], cd1["sim_drone_epe"])
             if best is None or score < best[1]:
                 best = (alpha, score, soup)
 

@@ -201,11 +201,14 @@ def train_raft(steps: int = 4000, batch: int = 8,
 
 
 def eval_raft(params, n_pairs: int = 12,
-              iters: int = 12) -> Tuple[float, float]:
+              iters: int = 0) -> Tuple[float, float]:
     """(overall EPE, drone-region EPE) on the held-out host fixture
-    (240x320 forward-flight sequence)."""
+    (240x320 forward-flight sequence). ``iters=0`` = the product default
+    (``raft.PRODUCT_ITERS``) so gates measure what ships."""
     from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
-    from mav_detection_tpu.models.raft import raft_flow
+    from mav_detection_tpu.models.raft import PRODUCT_ITERS, raft_flow
+
+    iters = iters or PRODUCT_ITERS
 
     ds = SyntheticDataset(params=SyntheticParams(seed=777, n_frames=n_pairs + 1,
                                                  foe=(150.0, 130.0),
@@ -226,7 +229,7 @@ def eval_raft(params, n_pairs: int = 12,
 
 
 def eval_raft_detection(params, n_pairs: int = 8,
-                        iters: int = 12) -> Tuple[float, float]:
+                        iters: int = 0) -> Tuple[float, float]:
     """(RAFT-flow TPR, GT-flow TPR): run the full fixed-threshold detection
     step (derotation -> FoE -> phi -> masks) on the held-out fixture with the
     net's flow vs the analytic ground-truth flow. VERDICT r1 gate: the two
@@ -234,8 +237,10 @@ def eval_raft_detection(params, n_pairs: int = 8,
     can't tell it apart from truth (reference consumes FlowNet2 the same way,
     ``/root/reference/src/datasets/dataset.py:116-123``)."""
     from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
-    from mav_detection_tpu.models.raft import raft_flow
+    from mav_detection_tpu.models.raft import PRODUCT_ITERS, raft_flow
     from mav_detection_tpu.pipeline.detector import DetectionStep, detect_frame_pair
+
+    iters = iters or PRODUCT_ITERS
 
     ds = SyntheticDataset(params=SyntheticParams(seed=777, n_frames=n_pairs + 1,
                                                  foe=(150.0, 130.0),

@@ -452,9 +452,19 @@ def _raft_apply(params, img1, img2, iters, config: RAFTConfig = RAFTConfig()):
 # the materialized volume (faster at the small training resolutions).
 INFERENCE_CONFIG = RAFTConfig(materialize_corr=False)
 
+# Product inference iteration count. Training supervises 12 GRU unrolls
+# (the reference's FlowNet2 sidecar analogue per BASELINE.json), but on the
+# shipped soup checkpoint FEWER iterations are strictly better where it
+# matters: sweeping on hardware gave drone-region EPE 0.473 (12 it) ->
+# 0.358 (6 it) in-family and bench 0.469 -> 0.339 / mock-sim EPE 0.465 ->
+# 0.381 off-family, overall EPE flat, detection TPR 1.0 at both — the late
+# GRU updates over-smooth small fast movers into the background flow. 6
+# also halves inference cost (PERF.md "RAFT inference iterations").
+PRODUCT_ITERS = 6
+
 
 def raft_flow(params, image1: jax.Array, image2: jax.Array,
-              iters: int = 12,
+              iters: int = PRODUCT_ITERS,
               config: RAFTConfig = INFERENCE_CONFIG) -> jax.Array:
     """Dense flow from a trained/initialized RAFT. Pads to multiples of 8.
 
@@ -466,6 +476,7 @@ def raft_flow(params, image1: jax.Array, image2: jax.Array,
     area) or ``materialize_corr=True`` for unbounded displacement. Use
     ``flow_coverage_px``/``check_flow_saturation`` to detect the condition.
     """
+    iters = iters or PRODUCT_ITERS  # 0 = product default
     h, w = image1.shape[:2]
     ph = (-h) % 8
     pw = (-w) % 8
@@ -539,7 +550,7 @@ def _batch_shard_count(x: jax.Array) -> int:
 
 
 def raft_flow_batch(images1: jax.Array, images2: jax.Array,
-                    params=None, iters: int = 12) -> jax.Array:
+                    params=None, iters: int = PRODUCT_ITERS) -> jax.Array:
     """Batched inference. When no params are supplied the shipped pretrained
     checkpoint (``checkpoints/raft.msgpack``, trained by ``cli.train``) loads
     automatically; without a checkpoint it falls back to fresh random params

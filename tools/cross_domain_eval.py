@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_scene_metrics(h: int, w: int, seeds, iters: int = 12,
+def bench_scene_metrics(h: int, w: int, seeds, iters: int = 0,
                         raft_params=None):
     """Flow EPE (overall + drone region), sky TPR/FPR, YOLO IoU on the
     cv2-rendered bench family. ``raft_params`` overrides the shipped RAFT
@@ -103,7 +103,7 @@ def bench_scene_metrics(h: int, w: int, seeds, iters: int = 12,
     return {k: (float(sum(v) / len(v)) if v else None) for k, v in out.items()}
 
 
-def mock_sim_metrics(h: int = 96, w: int = 128, iters: int = 12,
+def mock_sim_metrics(h: int = 96, w: int = 128, iters: int = 0,
                      raft_params=None):
     """Flow EPE vs matrices+depth GT on mock-simulator captures; YOLO IoU vs
     the segmentation bbox; sky TPR/FPR vs the far-depth band.
@@ -211,7 +211,7 @@ def main() -> None:
     ap.add_argument("--hw", default="240x320")
     ap.add_argument("--seeds", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--iters", type=int, default=12)
+    ap.add_argument("--iters", type=int, default=0)  # 0 = product default
     args = ap.parse_args()
     if args.cpu:
         import jax

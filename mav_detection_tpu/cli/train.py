@@ -408,9 +408,20 @@ def train_yolo(steps: int = 2500, batch: int = 8,
     from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
     from mav_detection_tpu.models.yolo import detect_boxes
 
-    sel_ds = SyntheticDataset(params=SyntheticParams(
-        seed=781, n_frames=6, drone_radius=8, drone_start=(250.0, 170.0),
-        drone_velocity=(-5.0, -2.0)))
+    # Two selection fixtures with different seed/size/motion; the selector
+    # takes the MIN of their mean IoUs — a single 6-frame fixture proved
+    # noisy enough that a checkpoint could improve it while regressing other
+    # seeds of the same family (observed on FLOW_FOE_YOLO at 6000 steps,
+    # PERF.md "per-mode"). Min-over-fixtures is the same robustness rule the
+    # RAFT selector uses.
+    sel_fixtures = [
+        SyntheticDataset(params=SyntheticParams(
+            seed=781, n_frames=6, drone_radius=8, drone_start=(250.0, 170.0),
+            drone_velocity=(-5.0, -2.0))),
+        SyntheticDataset(params=SyntheticParams(
+            seed=787, n_frames=6, drone_radius=12, drone_start=(70.0, 60.0),
+            drone_velocity=(4.5, 2.5))),
+    ]
 
     def _fixture_image(ds, i):
         frame = ds.get_frame(i)
@@ -420,12 +431,12 @@ def train_yolo(steps: int = 2500, batch: int = 8,
         return mode_image_host(frame, np.asarray(ds.flows[j], np.float32),
                                mode, seed=i)
 
-    def selector(p):
+    def _fixture_iou(p, ds):
         total = 0.0
-        for i in range(sel_ds.N):
-            boxes = detect_boxes(p, jnp.asarray(_fixture_image(sel_ds, i)),
+        for i in range(ds.N):
+            boxes = detect_boxes(p, jnp.asarray(_fixture_image(ds, i)),
                                  score_threshold=0.5)
-            gtr = sel_ds.get_annotation(i)[0]
+            gtr = ds.get_annotation(i)[0]
             valid = np.asarray(boxes.valid)
             xywh = np.asarray(boxes.xywh)
             best = 0.0
@@ -435,7 +446,10 @@ def train_yolo(steps: int = 2500, batch: int = 8,
                     best = max(best, Rectangle.calculate_iou_safe(
                         Rectangle((x - bw / 2, y - bh / 2), (bw, bh)), gtr))
             total += best
-        return total / sel_ds.N
+        return total / ds.N
+
+    def selector(p):
+        return min(_fixture_iou(p, ds) for ds in sel_fixtures)
 
     params, losses = _scan_chunks(run_chunk, params, opt_state,
                                   jax.random.PRNGKey(seed + 1), steps, chunk,

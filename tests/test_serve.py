@@ -131,6 +131,35 @@ class TestRemoteValidationLoop:
         assert os.path.exists(npz.replace(".npz", "-out.npz"))
 
 
+class TestConcurrency:
+    def test_parallel_predict_requests(self, server_url, frames, tmp_path):
+        """ThreadingHTTPServer handles concurrent /predict_video posts: JAX
+        inference is called from several handler threads at once; every
+        response must be complete and correct (the box strings for a frame
+        stack depend only on its content)."""
+        import requests
+
+        media = tmp_path / "cc.npz"
+        np.savez(media, frames=frames[:2])
+        payload = media.read_bytes()
+        results = [None] * 4
+
+        def post(i):
+            r = requests.post(f"{server_url}/predict_video",
+                              files={"video": ("cc.npz", payload)})
+            results[i] = r.status_code
+
+        ts = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=600)
+        assert results == [200] * 4
+        boxes = requests.get(f"{server_url}/predict_video_boxes").json()
+        assert set(boxes.keys()) == {"0", "1"}
+        assert boxes == YoloInferenceEngine().predict(frames[:2])
+
+
 class TestEngine:
     def test_ragged_tail_padding(self, frames):
         """n % batch != 0: the tail chunk edge-pads to one executable and

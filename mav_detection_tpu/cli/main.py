@@ -123,6 +123,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--host-index", type=int, default=None,
                         help="this host's index for --run-all sharding "
                              "(or MAV_HOST_INDEX)")
+    parser.add_argument("--foe-samples", type=int, default=1000,
+                        help="dense-FoE sampling budget (reference N=1000); "
+                             "raise at high resolutions for a tighter vote")
     parser.add_argument("--use-sparse-of", action="store_true",
                         help="fit the homography-branch transform on sparse "
                              "LK feature tracks instead of sampled flow")
@@ -145,6 +148,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         flow_source=args.flow_source, batch_size=args.batch_size,
         devices=args.devices, engine=args.engine,
         use_sparse_of=args.use_sparse_of,
+        foe_samples=args.foe_samples,
         debug=args.debug, prepare_dataset=args.prepare_dataset,
         validate=args.validate, headless=args.headless,
         data_to_yolo=args.data_to_yolo, undistort=args.undistort)

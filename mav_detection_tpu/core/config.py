@@ -107,6 +107,10 @@ class RunConfig:
     data_to_yolo: bool = False
     undistort: bool = False
     batch_size: int = 8
+    # dense-FoE sampling budget for the fused detection step; the
+    # reference's constant is 1000 (focus_of_expansion.py:65). Larger values
+    # tighten the vote at high resolutions for ~free on the MXU.
+    foe_samples: int = 1000
     # use sparse LK feature tracks instead of grid-sampled flow as the
     # transform-fit correspondences in the homography branch (the reference's
     # ``Detector(use_sparse_of=...)`` constructor flag, detector.py:23,130-136

@@ -95,6 +95,16 @@ class Processor:
         self.use_gt_flow = True
 
     # ------------------------------------------------------------ helpers
+    def _detection_step(self):
+        """Fused-step config from the run config. ``foe_samples`` defaults
+        to the reference's N=1000 (focus_of_expansion.py:65); raising it
+        tightens the FoE vote at high resolutions — the (N,N) consensus
+        reduction is cheap on the MXU (measured: 4000 samples cuts hi-res
+        FoE bias ~4x and std ~15%, PERF.md "FoE sampling")."""
+        from mav_detection_tpu.pipeline.detector import DetectionStep
+
+        return DetectionStep(foe_samples=self.config.foe_samples)
+
     def _effective_flow_source(self) -> FlowSource:
         src = self.config.flow_source
         if src == FlowSource.PRECOMPUTED and not self.dataset.has_precomputed_flow():
@@ -314,7 +324,7 @@ class Processor:
             args = tuple(jnp.concatenate(
                 [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0) for a in args)
         sharded = shard_frame_batch(self.mesh, *args)
-        out = detect_fn(*sharded, DetectionStep())
+        out = detect_fn(*sharded, self._detection_step())
         if pad:
             out = type(out)(*(x[:nb] for x in out))
         return out
@@ -521,13 +531,13 @@ class Processor:
                 jnp.asarray(padf(dts)), jnp.asarray(padf(segs)),
                 jnp.asarray(padf(skys)), jnp.asarray(padf(depths)),
                 jnp.asarray(padf(gt_foes)), key, params=self._farneback,
-                config=DetectionStep())
+                config=self._detection_step())
         else:
             out = detect_sequence_scan(
                 jnp.asarray(frames), jnp.asarray(omegas), jnp.asarray(dts),
                 jnp.asarray(segs), jnp.asarray(skys), jnp.asarray(depths),
                 jnp.asarray(gt_foes), key, params=self._farneback,
-                config=DetectionStep(),
+                config=self._detection_step(),
                 track_sparse=self.config.use_sparse_of)
             scal = out[0]
             if self.config.use_sparse_of:
@@ -641,7 +651,7 @@ class Processor:
                 if self.mesh is not None:
                     out = self._detect_sharded(detect_fn, args, nb)
                 else:
-                    out = detect_fn(*args, DetectionStep())
+                    out = detect_fn(*args, self._detection_step())
 
             # on-mesh global metric reduction (psum over the data axis):
             # accumulates run-level fixed-threshold TPR/FPR without pulling

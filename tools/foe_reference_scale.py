@@ -53,6 +53,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--keep", default="",
                     help="keep the collected dataset at this path")
+    ap.add_argument("--foe-samples", type=int, default=1000,
+                    help="dense-FoE sampling budget (reference N=1000)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the JAX_PLATFORMS env var "
                          "loses to the axon plugin; per-op dispatch over the "
@@ -91,7 +93,8 @@ def main() -> None:
     cfg = RunConfig(dataset="simulation", sequence=seq,
                     mode="FLOW_FOE_CLUSTERING",
                     flow_source=FlowSource.GROUND_TRUTH,
-                    batch_size=args.batch, headless=True)
+                    batch_size=args.batch, headless=True,
+                    foe_samples=args.foe_samples)
     proc = Processor(cfg)
     proc.run_detection()
 

@@ -264,6 +264,28 @@ class TestGraftEntry:
         __graft_entry__.dryrun_multichip(8)
 
 
+class TestFoeSamplesPlumbing:
+    def test_cli_budget_reaches_detection_step(self):
+        """--foe-samples flows RunConfig -> Processor -> DetectionStep (the
+        budget is a static jit arg, so a silent plumbing break would quietly
+        revert every run to the default vote)."""
+        from mav_detection_tpu.data.synthetic import SyntheticDataset
+        from mav_detection_tpu.pipeline.processor import Processor
+
+        cfg = RunConfig(dataset="synthetic", mode="FLOW_FOE_CLUSTERING",
+                        foe_samples=2000, headless=True)
+        cfg.get_dataset = lambda: SyntheticDataset(params=SMALL)
+        proc = Processor(cfg)
+        assert proc._detection_step().foe_samples == 2000
+
+    def test_default_matches_reference_budget(self):
+        from mav_detection_tpu.ops.geometry.foe import NUM_SAMPLES
+        from mav_detection_tpu.pipeline.detector import DetectionStep
+
+        assert RunConfig(dataset="synthetic").foe_samples == NUM_SAMPLES == \
+            DetectionStep().foe_samples == 1000
+
+
 class TestHomographyBranch:
     def test_homography_detection_runs(self, tmp_path, monkeypatch):
         from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams

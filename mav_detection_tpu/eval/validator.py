@@ -78,15 +78,8 @@ class Validator:
         emit ``ious.png`` + summary stats (reference
         ``validator.py:95-118,154-161``)."""
         if os.environ.get("YOLO_INFERENCE_HOST"):
-            # prefer the codec-free npz container (what our in-repo server
-            # serves natively) over the reference's video.mp4
-            npz = os.path.join(self.dataset.seq_path, "video.npz")
-            if os.path.exists(npz):
-                raw = self.get_inference(npz, npz.replace(".npz", "-out.npz"))
-            else:
-                video = os.path.join(self.dataset.seq_path, "video.mp4")
-                raw = self.get_inference(video,
-                                         video.replace(".mp4", "-out.mp4"))
+            src = self._nn_input_media()
+            raw = self.get_inference(src, src.replace(".npz", "-out.npz"))
         else:
             raw = self.run_local_inference(self.dataset)
         detections = self.parse_frames(raw)
@@ -121,6 +114,34 @@ class Validator:
             "iou_std": float(iou_arr.std()) if iou_arr.size else None,
             "detection_rate": float(detected.mean()) if iou_arr.size else None,
         }
+
+    def _nn_input_media(self) -> str:
+        """Build (idempotently) the npz of *mode-appropriate* inference
+        imagery for the remote server — the same ``mode_image_host`` renders
+        local inference consumes, over all N frames. The reference posts a
+        video of the mode imagery produced at dataset-prep time
+        (``processor.py:122-131``); posting the detector's own ``processed/``
+        overlay frames would leak its output into the NN input and starve
+        the per-mode checkpoints of the imagery they trained on."""
+        import tempfile
+
+        base = self.dataset.seq_path or tempfile.mkdtemp(prefix="nn-input-")
+        path = os.path.join(base,
+                            f"nn-input-{self.config.mode.name.lower()}.npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                if len(z["frames"]) == self.dataset.N:
+                    return path
+        frames = []
+        for i in range(self.dataset.N):
+            img = self._mode_image(self.dataset, i)
+            if img is None:
+                break
+            frames.append(np.asarray(img, np.uint8))
+        if not frames:
+            raise RuntimeError("dataset produced no frames for NN validation")
+        np.savez_compressed(path, frames=np.stack(frames))
+        return path
 
     def run_local_inference(self, dataset,
                             score_threshold: float = 0.5) -> Dict[str, List[str]]:
@@ -199,14 +220,11 @@ class Validator:
         if gt is not None:
             return np.asarray(gt, np.float32)
         from mav_detection_tpu.ops.flow import farneback_flow
-
-        def gray(img):
-            x = np.asarray(img, np.float32)
-            return 0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]
+        from mav_detection_tpu.ops.image.color import bgr_to_gray_host
 
         return np.asarray(farneback_flow(
-            _jnp.asarray(gray(dataset.get_frame(i))),
-            _jnp.asarray(gray(dataset.get_frame(i + 1)))))
+            _jnp.asarray(bgr_to_gray_host(dataset.get_frame(i))),
+            _jnp.asarray(bgr_to_gray_host(dataset.get_frame(i + 1)))))
 
     def load_results(self) -> None:
         self.frames = {}
@@ -384,7 +402,8 @@ class Validator:
 
         boxes_dir = os.path.dirname(input_file) + "/bounding-boxes"
         run_ts = str(requests.get(f"{self.host}/config").json()["start_time"])
-        digest = self.get_hash(input_file) + "-" + run_ts
+        content_hash = self.get_hash(input_file)
+        digest = content_hash + "-" + run_ts
         cache, json_path = self.check_cache(digest, boxes_dir)
         if cache is not None:
             return cache
@@ -397,7 +416,10 @@ class Validator:
                 files={"video": (input_file, fh)})
         with open(output_file, "wb") as out:
             out.write(response.content)
-        result = requests.get(f"{self.host}/predict_video_boxes").json()
+        # keyed by the media hash so a concurrent job on the shared server
+        # can't swap its boxes in between our POST and this GET
+        result = requests.get(f"{self.host}/predict_video_boxes",
+                              params={"hash": content_hash}).json()
         with open(json_path, "w") as f:
             json.dump(result, f)
         return result

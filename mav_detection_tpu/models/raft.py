@@ -596,6 +596,12 @@ def raft_flow_batch(images1: jax.Array, images2: jax.Array,
             lambda ab: raft_flow(params, ab[0], ab[1], iters),
             (images1, images2))
 
+    def all_finite(out: jax.Array) -> bool:
+        # device-side reduction: one scalar crosses the host boundary, not
+        # the whole (b, h, w, 2) flow batch (which the caller transfers
+        # anyway when it materializes the result)
+        return bool(jnp.isfinite(out).all())
+
     global _VMAP_BATCH8_OK
     batch = images1.shape[0]
     local_batch = -(-batch // _batch_shard_count(images1))
@@ -603,7 +609,7 @@ def raft_flow_batch(images1: jax.Array, images2: jax.Array,
         return run_vmap()
     if _VMAP_BATCH8_OK is None:
         out = run_vmap()
-        _VMAP_BATCH8_OK = bool(np.isfinite(np.asarray(out)).all())
+        _VMAP_BATCH8_OK = all_finite(out)
         if _VMAP_BATCH8_OK:
             return out
         import logging
@@ -613,7 +619,7 @@ def raft_flow_batch(images1: jax.Array, images2: jax.Array,
             "output) — falling back to lax.map for this process; see "
             "tools/vmap_miscompile_repro.py")
     out = run_vmap() if _VMAP_BATCH8_OK else run_map()
-    if not np.isfinite(np.asarray(out)).all():
+    if not all_finite(out):
         raise FloatingPointError(
             "RAFT produced non-finite flow on both vmap and lax.map paths — "
             "this is not the known batch>=8 vmap miscompile; check inputs")

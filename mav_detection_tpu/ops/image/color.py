@@ -1,8 +1,21 @@
-"""Color-space conversions (device-side)."""
+"""Color-space conversions (device-side, plus the shared host gray)."""
 from __future__ import annotations
+
+import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def bgr_to_gray_host(img, dtype=np.float32) -> np.ndarray:
+    """Host-side (NumPy) BT.601 BGR -> gray — the one place that owns the
+    gray convention for host staging and the validator's flow fallback
+    (matches :func:`bgr_to_gray` / cv2.COLOR_BGR2GRAY)."""
+    x = np.asarray(img, np.float32)
+    g = 0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]
+    if np.issubdtype(np.dtype(dtype), np.integer):
+        return np.round(g).astype(dtype)
+    return g.astype(dtype)
 
 
 @jax.jit

@@ -115,9 +115,9 @@ class Processor:
     @staticmethod
     def _gray(img) -> np.ndarray:
         # host-side BT.601, kept uint8: 4x less host->device traffic
-        x = np.asarray(img, np.float32)
-        g = 0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]
-        return np.round(g).astype(np.uint8)
+        from mav_detection_tpu.ops.image.color import bgr_to_gray_host
+
+        return bgr_to_gray_host(img, np.uint8)
 
     def _stage_batch(self, idx: List[int]) -> Dict[str, np.ndarray]:
         """Host-side staging of one frame batch: PNG decode, gray conversion,
@@ -289,6 +289,10 @@ class Processor:
         across batch boundaries (VERDICT r2: wire it into the product path).
         Falls back silently (to ``flo_read_batch`` per batch) when the shared
         library or on-disk layout is unavailable."""
+        if self._flo_prefetcher is not None:
+            # a prior run aborted mid-sequence: release its reader threads
+            # before re-arming rather than orphaning them
+            self._flo_prefetcher.close()
         self._flo_prefetcher = None
         src = self._effective_flow_source()
         if src not in (FlowSource.PRECOMPUTED, FlowSource.GROUND_TRUTH):
@@ -613,134 +617,139 @@ class Processor:
         # decode, .flo reads) while the device crunches batch k
         executor = ThreadPoolExecutor(max_workers=1,
                                       thread_name_prefix="stager")
-        future = (executor.submit(self._stage_batch, batches[0])
-                  if batches else None)
-        for k, idx in enumerate(batches):
-            if self.is_exiting:
-                break
-            nb = len(idx)
-            staged = future.result()
-            if k + 1 < len(batches):
-                future = executor.submit(self._stage_batch, batches[k + 1])
+        try:
+            future = (executor.submit(self._stage_batch, batches[0])
+                      if batches else None)
+            for k, idx in enumerate(batches):
+                if self.is_exiting:
+                    break
+                nb = len(idx)
+                staged = future.result()
+                if k + 1 < len(batches):
+                    future = executor.submit(self._stage_batch, batches[k + 1])
 
-            with self.tracer.stage("flow"):
-                flow = self._flow_from_staged(idx, staged)
-            if "gt_flow" in staged:
-                gt_flow = jnp.asarray(staged["gt_flow"])
-            else:
-                # device-created zeros: no host->device transfer at all
-                gt_flow = jnp.zeros((nb, h, w, 2), jnp.float32)
-            omegas = staged["omegas"]
-            dts = staged["dts"]
-            segs = staged["segs"]
-            skys = staged["skys"]
-            depths = staged["depths"]
-            gt_foes = staged["gt_foes"]
-            key, sub = jax.random.split(key)
-            keys = jax.random.split(sub, nb)
-
-            # sharded runs keep the full outputs: the psum metric reduction
-            # consumes the on-device masks without a host round trip
-            detect_fn = (detect_frame_batch
-                         if (out_dirs and self.save_images) or self.mesh is not None
-                         else detect_frame_batch_scalars)
-            with self.tracer.stage("stage+detect"):
-                args = (jnp.asarray(flow), gt_flow, jnp.asarray(omegas),
-                        jnp.asarray(dts), jnp.asarray(segs), jnp.asarray(skys),
-                        jnp.asarray(depths), jnp.asarray(gt_foes), keys)
-                if self.mesh is not None:
-                    out = self._detect_sharded(detect_fn, args, nb)
+                with self.tracer.stage("flow"):
+                    flow = self._flow_from_staged(idx, staged)
+                if "gt_flow" in staged:
+                    gt_flow = jnp.asarray(staged["gt_flow"])
                 else:
-                    out = detect_fn(*args, self._detection_step())
+                    # device-created zeros: no host->device transfer at all
+                    gt_flow = jnp.zeros((nb, h, w, 2), jnp.float32)
+                omegas = staged["omegas"]
+                dts = staged["dts"]
+                segs = staged["segs"]
+                skys = staged["skys"]
+                depths = staged["depths"]
+                gt_foes = staged["gt_foes"]
+                key, sub = jax.random.split(key)
+                keys = jax.random.split(sub, nb)
 
-            # on-mesh global metric reduction (psum over the data axis):
-            # accumulates run-level fixed-threshold TPR/FPR without pulling
-            # masks to the host (reference sums these in Python per frame)
-            if self.mesh is not None and hasattr(out, "estimate_fixed"):
-                from mav_detection_tpu.parallel import aggregate_metrics_psum
+                # sharded runs keep the full outputs: the psum metric reduction
+                # consumes the on-device masks without a host round trip
+                detect_fn = (detect_frame_batch
+                             if (out_dirs and self.save_images) or self.mesh is not None
+                             else detect_frame_batch_scalars)
+                with self.tracer.stage("stage+detect"):
+                    args = (jnp.asarray(flow), gt_flow, jnp.asarray(omegas),
+                            jnp.asarray(dts), jnp.asarray(segs), jnp.asarray(skys),
+                            jnp.asarray(depths), jnp.asarray(gt_foes), keys)
+                    if self.mesh is not None:
+                        out = self._detect_sharded(detect_fn, args, nb)
+                    else:
+                        out = detect_fn(*args, self._detection_step())
 
-                n_dev = self.mesh.devices.size
-                pad = (-nb) % n_dev
-                seg_p = np.concatenate([segs, np.zeros((pad,) + segs.shape[1:],
-                                                       segs.dtype)]) if pad else segs
-                est = jnp.concatenate(
-                    [out.estimate_fixed,
-                     jnp.zeros((pad,) + out.estimate_fixed.shape[1:],
-                               out.estimate_fixed.dtype)]) if pad else out.estimate_fixed
-                g_tpr, g_fpr = aggregate_metrics_psum(
-                    self.mesh, jnp.asarray(seg_p),
-                    (255 * est.astype(jnp.int32)).astype(jnp.uint8))
-                self._psum_metrics.append((float(g_tpr), float(g_fpr), nb))
+                # on-mesh global metric reduction (psum over the data axis):
+                # accumulates run-level fixed-threshold TPR/FPR without pulling
+                # masks to the host (reference sums these in Python per frame)
+                if self.mesh is not None and hasattr(out, "estimate_fixed"):
+                    from mav_detection_tpu.parallel import aggregate_metrics_psum
 
-            # host materialization of the whole batch at once
-            save_images = bool(out_dirs) and self.save_images
-            with self.tracer.stage("materialize"):
-                foe = np.asarray(out.foe)
-            tpr = np.asarray(out.tpr)
-            fpr = np.asarray(out.fpr)
-            tprf = np.asarray(out.tpr_fixed)
-            fprf = np.asarray(out.fpr_fixed)
-            sky_tpr = np.asarray(out.sky_tpr)
-            sky_fpr = np.asarray(out.sky_fpr)
-            dsz = np.asarray(out.drone_size_pixels)
-            dfl = np.asarray(out.drone_flow_pixels)
-            cphi = np.asarray(out.center_phi)
-            if save_images:
-                fixed_masks = np.asarray(out.estimate_fixed)
-                phi_maps = np.asarray(out.phi)
-                derot = np.asarray(out.flow_derotated)
+                    n_dev = self.mesh.devices.size
+                    pad = (-nb) % n_dev
+                    seg_p = np.concatenate([segs, np.zeros((pad,) + segs.shape[1:],
+                                                           segs.dtype)]) if pad else segs
+                    est = jnp.concatenate(
+                        [out.estimate_fixed,
+                         jnp.zeros((pad,) + out.estimate_fixed.shape[1:],
+                                   out.estimate_fixed.dtype)]) if pad else out.estimate_fixed
+                    g_tpr, g_fpr = aggregate_metrics_psum(
+                        self.mesh, jnp.asarray(seg_p),
+                        (255 * est.astype(jnp.int32)).astype(jnp.uint8))
+                    self._psum_metrics.append((float(g_tpr), float(g_fpr), nb))
 
-            artifact_stage = self.tracer.stage("artifacts")
-            artifact_stage.__enter__()
-            for j, i in enumerate(idx):
-                fr = FrameResult(
-                    time=float(ds.get_time(i)),
-                    tpr=float(tpr[j]), fpr=float(fpr[j]),
-                    tpr_fixed=float(tprf[j]), fpr_fixed=float(fprf[j]),
-                    sky_tpr=float(sky_tpr[j]), sky_fpr=float(sky_fpr[j]),
-                    drone_size_pixels=float(dsz[j]),
-                    drone_flow_pixels=(float(dfl[j, 0]), float(dfl[j, 1])),
-                    foe_dense=(float(foe[j, 0]), float(foe[j, 1])),
-                    foe_gt=tuple(float(v) for v in gt_foes[j]),
-                    center_phi=float(cphi[j]),
-                )
-                self.detection_results[i] = fr
-                self.config.results[i] = fr
-                if out_dirs:
-                    with open(os.path.join(out_dirs["results"],
-                                           f"image_{i:05d}.json"), "w") as f:
-                        f.write(fr.to_json())
+                # host materialization of the whole batch at once
+                save_images = bool(out_dirs) and self.save_images
+                with self.tracer.stage("materialize"):
+                    foe = np.asarray(out.foe)
+                tpr = np.asarray(out.tpr)
+                fpr = np.asarray(out.fpr)
+                tprf = np.asarray(out.tpr_fixed)
+                fprf = np.asarray(out.fpr_fixed)
+                sky_tpr = np.asarray(out.sky_tpr)
+                sky_fpr = np.asarray(out.sky_fpr)
+                dsz = np.asarray(out.drone_size_pixels)
+                dfl = np.asarray(out.drone_flow_pixels)
+                cphi = np.asarray(out.center_phi)
                 if save_images:
-                    imwrite(os.path.join(out_dirs["result_imgs"],
-                                         f"image_{i:05d}.png"),
-                            to_rgb(255.0 * fixed_masks[j]))
-                    imwrite(os.path.join(out_dirs["derotated"],
-                                         f"image_{i:05d}.png"),
-                            flow_to_color(derot[j]))
-                    imwrite(os.path.join(out_dirs["phi"],
-                                         f"image_{i:05d}.png"),
-                            apply_colormap(phi_maps[j].astype(np.float32)))
-                    # overlay like the reference's mask_vis (alpha blend)
-                    frame = np.asarray(ds.get_frame(i), np.float32)
-                    mask = fixed_masks[j].astype(bool)
-                    overlay = frame.copy()
-                    overlay[mask] = (150, 0, 150)
-                    vis = 0.2 * frame + 0.8 * overlay
-                    imwrite(os.path.join(out_dirs["processed"],
-                                         f"image_{i:05d}.png"),
-                            np.clip(vis, 0, 255).astype(np.uint8))
+                    fixed_masks = np.asarray(out.estimate_fixed)
+                    phi_maps = np.asarray(out.phi)
+                    derot = np.asarray(out.flow_derotated)
 
-            artifact_stage.__exit__(None, None, None)
-            done = idx[-1] + 1
-            if done % max(n_pairs // 10, 1) < self.batch_size:
-                self.logger.info(
-                    f"{done / n_pairs * 100:.1f}% {done}/{n_pairs} "
-                    f"({done / max(time.time() - t_start, 1e-9):.1f} fps)")
+                artifact_stage = self.tracer.stage("artifacts")
+                artifact_stage.__enter__()
+                for j, i in enumerate(idx):
+                    fr = FrameResult(
+                        time=float(ds.get_time(i)),
+                        tpr=float(tpr[j]), fpr=float(fpr[j]),
+                        tpr_fixed=float(tprf[j]), fpr_fixed=float(fprf[j]),
+                        sky_tpr=float(sky_tpr[j]), sky_fpr=float(sky_fpr[j]),
+                        drone_size_pixels=float(dsz[j]),
+                        drone_flow_pixels=(float(dfl[j, 0]), float(dfl[j, 1])),
+                        foe_dense=(float(foe[j, 0]), float(foe[j, 1])),
+                        foe_gt=tuple(float(v) for v in gt_foes[j]),
+                        center_phi=float(cphi[j]),
+                    )
+                    self.detection_results[i] = fr
+                    self.config.results[i] = fr
+                    if out_dirs:
+                        with open(os.path.join(out_dirs["results"],
+                                               f"image_{i:05d}.json"), "w") as f:
+                            f.write(fr.to_json())
+                    if save_images:
+                        imwrite(os.path.join(out_dirs["result_imgs"],
+                                             f"image_{i:05d}.png"),
+                                to_rgb(255.0 * fixed_masks[j]))
+                        imwrite(os.path.join(out_dirs["derotated"],
+                                             f"image_{i:05d}.png"),
+                                flow_to_color(derot[j]))
+                        imwrite(os.path.join(out_dirs["phi"],
+                                             f"image_{i:05d}.png"),
+                                apply_colormap(phi_maps[j].astype(np.float32)))
+                        # overlay like the reference's mask_vis (alpha blend)
+                        frame = np.asarray(ds.get_frame(i), np.float32)
+                        mask = fixed_masks[j].astype(bool)
+                        overlay = frame.copy()
+                        overlay[mask] = (150, 0, 150)
+                        vis = 0.2 * frame + 0.8 * overlay
+                        imwrite(os.path.join(out_dirs["processed"],
+                                             f"image_{i:05d}.png"),
+                                np.clip(vis, 0, 255).astype(np.uint8))
 
-        executor.shutdown(wait=False, cancel_futures=True)
-        if self._flo_prefetcher is not None:
-            self._flo_prefetcher.close()
-            self._flo_prefetcher = None
+                artifact_stage.__exit__(None, None, None)
+                done = idx[-1] + 1
+                if done % max(n_pairs // 10, 1) < self.batch_size:
+                    self.logger.info(
+                        f"{done / n_pairs * 100:.1f}% {done}/{n_pairs} "
+                        f"({done / max(time.time() - t_start, 1e-9):.1f} fps)")
+
+        finally:
+            # release staging resources even when a batch raises (a
+            # corrupt .flo or non-finite flow must not orphan the stager
+            # thread or the native prefetcher's reader threads)
+            executor.shutdown(wait=False, cancel_futures=True)
+            if self._flo_prefetcher is not None:
+                self._flo_prefetcher.close()
+                self._flo_prefetcher = None
         wall = time.time() - t_start
         if wall > 0:
             self.logger.info(
@@ -761,22 +770,58 @@ class Processor:
         return self.detection_results
 
     def _encode_video(self, img_dir: str, out_path: str, fps: int = 30) -> None:
-        """png sequence -> mp4 via ffmpeg if available (reference writes
-        processed.mp4; we keep the artifact, gated on the binary), plus a
-        codec-free ``video.npz`` sidecar of the same frames — the container
+        """png sequence -> mp4 (reference writes processed.mp4) via ffmpeg
+        when available, else cv2.VideoWriter (the opencv wheel bundles an
+        mp4v codec), plus a codec-free ``video.npz`` sidecar — the container
         the in-repo inference server (:mod:`mav_detection_tpu.serve`) and
-        the validator's remote branch consume when no mp4 codec exists."""
+        the validator's remote branch prefer."""
         self._encode_npz(img_dir,
                          os.path.join(os.path.dirname(out_path), "video.npz"))
-        if shutil.which("ffmpeg") is None:
-            return
-        cmd = ["ffmpeg", "-y", "-loglevel", "error", "-framerate", str(fps),
-               "-i", os.path.join(img_dir, "image_%05d.png"),
-               "-c:v", "libx264", "-pix_fmt", "yuv420p", out_path]
+        if shutil.which("ffmpeg") is not None:
+            cmd = ["ffmpeg", "-y", "-loglevel", "error", "-framerate",
+                   str(fps), "-i", os.path.join(img_dir, "image_%05d.png"),
+                   "-c:v", "libx264", "-pix_fmt", "yuv420p", out_path]
+            try:
+                subprocess.call(cmd)
+                return
+            except Exception as e:  # pragma: no cover
+                self.logger.warning(f"ffmpeg encode failed: {e}")
         try:
-            subprocess.call(cmd)
-        except Exception as e:  # pragma: no cover
+            self._encode_video_cv2(img_dir, out_path, fps)
+        except Exception as e:
             self.logger.warning(f"video encode failed: {e}")
+
+    def _encode_video_cv2(self, img_dir: str, out_path: str, fps: int) -> None:
+        """Streaming mp4 encode with cv2.VideoWriter (one frame resident)."""
+        import glob
+
+        import cv2
+
+        pngs = sorted(glob.glob(os.path.join(img_dir, "image_*.png")))
+        if not pngs:
+            return
+        first = cv2.imread(pngs[0])
+        if first is None:
+            self.logger.warning(f"video encode skipped: unreadable {pngs[0]}")
+            return
+        h, w = first.shape[:2]
+        writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+        if not writer.isOpened():
+            self.logger.warning("video encode skipped: no cv2 mp4 codec")
+            return
+        try:
+            for p in pngs:
+                frame = cv2.imread(p)
+                if frame is not None and frame.shape[:2] == (h, w):
+                    writer.write(frame)
+        finally:
+            writer.release()
+
+    # Above this many bytes of raw frames, skip the npz sidecar rather than
+    # OOM-ing the host after the detection work is done (a reference-scale
+    # 1920x1024 x 2000-frame run is ~12 GB raw). Override via env.
+    NPZ_MAX_BYTES = int(os.environ.get("MAVTPU_NPZ_MAX_BYTES", 4 << 30))
 
     def _encode_npz(self, img_dir: str, out_path: str) -> None:
         """png sequence -> single ``video.npz`` (key ``frames``)."""
@@ -787,12 +832,30 @@ class Processor:
         pngs = sorted(glob.glob(os.path.join(img_dir, "image_*.png")))
         if not pngs:
             return
-        frames = [cv2.imread(p) for p in pngs]
-        shapes = {f.shape for f in frames if f is not None}
-        if len(shapes) != 1:
-            self.logger.warning(f"npz encode skipped: ragged frames {shapes}")
+        first = cv2.imread(pngs[0])
+        if first is None:
+            self.logger.warning(f"npz encode skipped: unreadable {pngs[0]}")
             return
-        np.savez_compressed(out_path, frames=np.stack(frames))
+        total = first.nbytes * len(pngs)
+        if total > self.NPZ_MAX_BYTES:
+            self.logger.warning(
+                f"npz encode skipped: {total / 2**30:.1f} GiB of frames "
+                f"exceeds MAVTPU_NPZ_MAX_BYTES "
+                f"({self.NPZ_MAX_BYTES / 2**30:.1f} GiB)")
+            return
+        # preallocate so peak host memory is one copy of the stack; skip
+        # unreadable/ragged frames instead of crashing np.stack on a None
+        frames = np.empty((len(pngs),) + first.shape, first.dtype)
+        n = 0
+        for p in pngs:
+            f = first if p == pngs[0] else cv2.imread(p)
+            if f is None or f.shape != first.shape:
+                self.logger.warning(f"npz encode: skipping bad frame {p}")
+                continue
+            frames[n] = f
+            n += 1
+        if n:
+            np.savez_compressed(out_path, frames=frames[:n])
 
     # ----------------------------------------------- dataset conversion
     def annotation_to_yolo(self, rects) -> str:

@@ -19,13 +19,19 @@ anywhere:
                                annotated media bytes
   GET  /predict_video_boxes -> {"<frame>": ["name conf x y w h", ...]}
                                (top-left pixel coords, the box-string
-                               protocol ``parse_frames`` consumes)
+                               protocol ``parse_frames`` consumes).
+                               Optional ``?hash=<sha1-of-media>`` returns
+                               the boxes for THAT job, making a concurrent
+                               POST-then-GET pair race-free; without it the
+                               last-finished job's boxes are returned (the
+                               reference sidecar's behavior).
 
 Media handling: ``.npz`` archives (key ``frames``: (N, H, W, 3) uint8) are
-first-class — this image has no mp4 codec, and the hermetic test path ships
-frames directly.  Anything else is handed to ``cv2.VideoCapture`` and fails
-gracefully when no codec exists.  Annotated output mirrors the input
-container: npz in -> npz of frames with boxes burned in.
+first-class — the hermetic test path ships frames directly.  Anything else
+is handed to ``cv2.VideoCapture`` and fails gracefully when no codec
+exists.  Annotated output mirrors the input container: npz in -> npz of
+frames with boxes burned in; video in -> mp4 (cv2.VideoWriter) with an npz
+fallback when no encoder is available.
 
 Inference is batched on device: frames run through ``jax.vmap`` of the
 fixed-shape detector in chunks of ``batch`` (default 8, the product batch),
@@ -34,11 +40,13 @@ sequence length.
 """
 from __future__ import annotations
 
+import hashlib
 import io
 import json
 import logging
 import threading
 import time
+from collections import OrderedDict
 from email.parser import BytesParser
 from email.policy import HTTP as HTTP_POLICY
 from functools import partial
@@ -85,7 +93,9 @@ def _decode_media(data: bytes) -> Tuple[np.ndarray, str]:
 
 def _encode_annotated(frames: np.ndarray,
                       boxes: Dict[str, List[str]], kind: str) -> bytes:
-    """Burn the detected boxes into the frames; return container bytes."""
+    """Burn the detected boxes into the frames; return container bytes
+    mirroring the input kind ("npz" or "video"; video falls back to npz
+    when cv2 has no mp4 encoder)."""
     import cv2
 
     out = frames.copy()
@@ -95,6 +105,21 @@ def _encode_annotated(frames: np.ndarray,
             x, y, w, h = (float(v) for v in parts[2:6])
             cv2.rectangle(out[i], (int(x), int(y)),
                           (int(x + w), int(y + h)), (0, 0, 255), 1)
+    if kind == "video":
+        import tempfile
+
+        h_px, w_px = out.shape[1:3]
+        with tempfile.NamedTemporaryFile(suffix=".mp4") as f:
+            writer = cv2.VideoWriter(f.name,
+                                     cv2.VideoWriter_fourcc(*"mp4v"),
+                                     30, (w_px, h_px))
+            if writer.isOpened():
+                for frame in out:
+                    writer.write(frame)
+                writer.release()
+                with open(f.name, "rb") as rf:
+                    return rf.read()
+            logger.warning("no cv2 mp4 encoder; annotated output is npz")
     buf = io.BytesIO()
     np.savez_compressed(buf, frames=out)
     return buf.getvalue()
@@ -163,12 +188,26 @@ class YoloServer(ThreadingHTTPServer):
 
     daemon_threads = True
 
+    MAX_JOBS = 64  # bound on retained per-hash results
+
     def __init__(self, addr, engine: YoloInferenceEngine):
         super().__init__(addr, _Handler)
         self.engine = engine
         self.start_time = time.time()
         self.last_boxes: Dict[str, List[str]] = {}
+        # content-sha1 -> boxes, insertion-ordered for LRU eviction: lets a
+        # client's POST-then-GET pair survive interleaved concurrent jobs
+        self.boxes_by_hash: "OrderedDict[str, Dict[str, List[str]]]" = \
+            OrderedDict()
         self._lock = threading.Lock()
+
+    def store_boxes(self, digest: str, boxes: Dict[str, List[str]]) -> None:
+        with self._lock:
+            self.last_boxes = boxes
+            self.boxes_by_hash.pop(digest, None)
+            self.boxes_by_hash[digest] = boxes
+            while len(self.boxes_by_hash) > self.MAX_JOBS:
+                self.boxes_by_hash.popitem(last=False)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -190,8 +229,14 @@ class _Handler(BaseHTTPRequestHandler):
         if path == "/config":
             self._json({"start_time": self.server.start_time})
         elif path == "/predict_video_boxes":
+            digest = parse_qs(urlparse(self.path).query).get("hash", [None])[0]
             with self.server._lock:
-                self._json(dict(self.server.last_boxes))
+                if digest is None:  # reference-sidecar behavior: last job
+                    self._json(dict(self.server.last_boxes))
+                elif digest in self.server.boxes_by_hash:
+                    self._json(dict(self.server.boxes_by_hash[digest]))
+                else:
+                    self._json({"error": f"unknown job hash {digest}"}, 404)
         elif path == "/health":
             self._json({"ok": True})
         else:
@@ -214,8 +259,7 @@ class _Handler(BaseHTTPRequestHandler):
             frames, kind = _decode_media(media)
             boxes = self.server.engine.predict(
                 frames, use_default_weights=use_default)
-            with self.server._lock:
-                self.server.last_boxes = boxes
+            self.server.store_boxes(hashlib.sha1(media).hexdigest(), boxes)
             out = _encode_annotated(frames, boxes, kind)
             self.send_response(200)
             self.send_header("Content-Type", "application/octet-stream")

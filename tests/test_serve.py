@@ -99,15 +99,77 @@ class TestServeProtocol:
         assert r.status_code == 400
         assert "error" in r.json()
 
+    def test_video_in_video_out(self, server_url, frames, tmp_path):
+        """mp4 in -> annotated mp4 back (the reference sidecar's contract);
+        the npz container stays the codec-free first-class path."""
+        import cv2
+        import requests
+
+        path = tmp_path / "in.mp4"
+        h, w = frames.shape[1:3]
+        wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                             30, (w, h))
+        if not wr.isOpened():
+            pytest.skip("no cv2 mp4 codec in this image")
+        for f in frames[:2]:
+            wr.write(np.ascontiguousarray(f))
+        wr.release()
+
+        r = requests.post(f"{server_url}/predict_video",
+                          files={"video": ("in.mp4", path.read_bytes())})
+        assert r.status_code == 200
+        out = tmp_path / "out.mp4"
+        out.write_bytes(r.content)
+        assert r.content[:4] != b"PK\x03\x04", "expected mp4, got npz bytes"
+        cap = cv2.VideoCapture(str(out))
+        ok, fr = cap.read()
+        cap.release()
+        assert ok and fr.shape == frames.shape[1:]
+
+    def test_hash_keyed_boxes_survive_interleaved_jobs(self, server_url,
+                                                       frames, tmp_path):
+        """A POST-then-GET pair is race-free when the GET carries the media
+        hash: another job finishing in between must not swap the boxes."""
+        import hashlib
+
+        import requests
+
+        def npz_bytes(stack):
+            import io
+
+            buf = io.BytesIO()
+            np.savez(buf, frames=stack)
+            return buf.getvalue()
+
+        job_a, job_b = npz_bytes(frames[:2]), npz_bytes(frames[1:3])
+        ra = requests.post(f"{server_url}/predict_video",
+                           files={"video": ("a.npz", job_a)})
+        rb = requests.post(f"{server_url}/predict_video",
+                           files={"video": ("b.npz", job_b)})
+        assert ra.status_code == rb.status_code == 200
+
+        ha = hashlib.sha1(job_a).hexdigest()
+        boxes_a = requests.get(f"{server_url}/predict_video_boxes",
+                               params={"hash": ha}).json()
+        assert boxes_a == YoloInferenceEngine().predict(frames[:2])
+        # no hash -> reference behavior: whichever job finished last
+        last = requests.get(f"{server_url}/predict_video_boxes").json()
+        assert last == YoloInferenceEngine().predict(frames[1:3])
+        # unknown hash is a 404, not someone else's boxes
+        r = requests.get(f"{server_url}/predict_video_boxes",
+                         params={"hash": "0" * 40})
+        assert r.status_code == 404
+
 
 class TestRemoteValidationLoop:
     def test_processor_to_server_to_stats(self, server_url, tmp_path,
                                           monkeypatch):
         """The reference's full remote-NN loop, hermetic: the Processor
         writes the processed sequence plus a codec-free ``video.npz``; the
-        Validator's remote branch (YOLO_INFERENCE_HOST) posts it to the live
-        server through the shipped requests client and produces IoU stats —
-        the workflow the reference needed an external CUDA container for."""
+        Validator's remote branch (YOLO_INFERENCE_HOST) renders the
+        mode-appropriate inference imagery, posts it to the live server
+        through the shipped requests client, and produces IoU stats — the
+        workflow the reference needed an external CUDA container for."""
         from mav_detection_tpu.pipeline.processor import Processor
 
         monkeypatch.chdir(tmp_path)
@@ -127,8 +189,16 @@ class TestRemoteValidationLoop:
         v.dataset = ds
         stats = v.run_nn_validation()
         assert "iou_mean" in stats
+        # the server scored mode-appropriate imagery (ALL N frames), not
+        # the detector's processed/ overlay frames (N-1 of them)
+        nn_input = f"{ds.seq_path}/nn-input-flow_foe_yolo.npz"
+        assert os.path.exists(nn_input), "mode imagery npz not built"
+        with np.load(nn_input) as z:
+            assert len(z["frames"]) == ds.N
+        with np.load(npz) as z:
+            assert len(z["frames"]) == ds.N - 1  # overlays: one per pair
         # annotated media came back from the server
-        assert os.path.exists(npz.replace(".npz", "-out.npz"))
+        assert os.path.exists(nn_input.replace(".npz", "-out.npz"))
 
 
 class TestConcurrency:

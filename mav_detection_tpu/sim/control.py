@@ -307,3 +307,48 @@ class SimDataCollector:
             result["thread_difference"] = int(diffs[sel])
             with open(out_file, "w") as f:
                 json.dump(result, f, indent=4, sort_keys=True)
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    """Command-line entry mirroring the reference's data-acquisition tool
+    (``airsim-control.py:618-627``): ``--collection`` selects a grid from
+    settings.json. ``--mock`` swaps the AirSim RPC client for the hermetic
+    mock simulator, so full collections can be flown without UE4 (the
+    collected sequences feed ``SimDataset``'s GT-flow synthesis directly)."""
+    import argparse
+
+    from mav_detection_tpu.core.config import load_settings
+
+    ap = argparse.ArgumentParser(
+        description="Two-drone data-collection choreography")
+    ap.add_argument("--collection", required=True,
+                    help="collection name under settings.json 'collections'")
+    ap.add_argument("--mock", action="store_true",
+                    help="use the hermetic mock simulator instead of AirSim")
+    ap.add_argument("--ip", default=None,
+                    help="AirSim RPC host (default: IP_ADDRESS env)")
+    ap.add_argument("--data-dir", default="data", help="output root")
+    ap.add_argument("--speed", type=float, default=3.0)
+    ap.add_argument("--max-iterations", type=int, default=1000)
+    ap.add_argument("--image-size", default=None, metavar="HxW",
+                    help="mock-sim capture resolution, e.g. 1024x1920")
+    args = ap.parse_args(argv)
+
+    collections = load_settings().get("collections", {})
+    if args.collection not in collections:
+        raise SystemExit(
+            f"unknown collection {args.collection!r}; available: "
+            f"{sorted(collections)}")
+    if args.mock:
+        from mav_detection_tpu.sim.client import MockSimClient
+
+        hw = (tuple(int(v) for v in args.image_size.split("x"))
+              if args.image_size else (64, 96))
+        client: SimClient = MockSimClient(image_hw=hw)  # type: ignore[arg-type]
+    else:
+        from mav_detection_tpu.sim.client import AirSimClient
+
+        client = AirSimClient(ip=args.ip)
+    SimDataCollector(client, collections[args.collection],
+                     root_data_dir=args.data_dir, speed=args.speed,
+                     max_iterations=args.max_iterations).run()

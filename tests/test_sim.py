@@ -164,3 +164,32 @@ class TestRenormalizeIndices:
             # order preserved: smallest old index -> slot 0
             with open(f"{collector.base_dir}/{sub}/image_00000.{ext}") as f:
                 assert f.read() == "3"
+
+
+class TestCollectCLI:
+    def test_mock_collection_from_command_line(self, tmp_path, monkeypatch):
+        """The reference's acquisition tool is a CLI
+        (airsim-control.py:618-627); ours flies a settings.json collection
+        hermetically with --mock and writes the full sequence layout."""
+        from mav_detection_tpu.sim.control import main
+
+        monkeypatch.chdir(tmp_path)
+        with open(tmp_path / "settings.json", "w") as f:
+            json.dump({"collections": {"tiny": COLLECTION}}, f)
+        main(["--collection", "tiny", "--mock",
+              "--data-dir", str(tmp_path / "data"), "--max-iterations", "4"])
+        seqs = [d for d in glob.glob(str(tmp_path / "data" / "*"))
+                if os.path.isdir(d) and "testfield" in d]
+        assert len(seqs) == 1
+        for sub in ("images", "states", "segmentations", "depths"):
+            assert os.path.isdir(os.path.join(seqs[0], sub)), sub
+        assert glob.glob(os.path.join(seqs[0], "images", "*.png"))
+
+    def test_unknown_collection_exits(self, tmp_path, monkeypatch):
+        from mav_detection_tpu.sim.control import main
+
+        monkeypatch.chdir(tmp_path)
+        with open(tmp_path / "settings.json", "w") as f:
+            json.dump({"collections": {}}, f)
+        with pytest.raises(SystemExit):
+            main(["--collection", "nope", "--mock"])

@@ -238,14 +238,10 @@ class Processor:
             getter = ds.get_flow_uv if src == FlowSource.PRECOMPUTED else ds.get_gt_of
             return np.stack([np.asarray(getter(i), np.float32) for i in indices])
         if src == FlowSource.FARNEBACK:
-            def gray(img):
-                # host-side BT.601, kept uint8: 4x less host->device traffic
-                x = np.asarray(img, np.float32)
-                g = 0.114 * x[..., 0] + 0.587 * x[..., 1] + 0.299 * x[..., 2]
-                return np.round(g).astype(np.uint8)
-
-            prevs = jnp.asarray(np.stack([gray(ds.get_frame(i)) for i in indices]))
-            currs = jnp.asarray(np.stack([gray(ds.get_frame(i + 1)) for i in indices]))
+            prevs = jnp.asarray(np.stack(
+                [self._gray(ds.get_frame(i)) for i in indices]))
+            currs = jnp.asarray(np.stack(
+                [self._gray(ds.get_frame(i + 1)) for i in indices]))
             if self.mesh is not None and len(indices) % self.mesh.devices.size == 0:
                 from mav_detection_tpu.parallel import shard_frame_batch
 
@@ -888,7 +884,16 @@ class Processor:
 
     def convert(self, mode: Mode) -> None:
         """YOLO training-set export (processor.py:209-237): per train
-        sequence, emit mode-transformed images + annotation copies."""
+        sequence, emit mode-transformed images + annotation copies. The
+        imagery goes through the shared :func:`mode_image_host` transform,
+        so exported training sets match the validator's inference inputs
+        (including FLOW_RADIAL, which the reference's process_image silently
+        drops)."""
+        import glob
+
+        from mav_detection_tpu.data import make_dataset
+        from mav_detection_tpu.pipeline.mode_imagery import mode_image_host
+
         dest = os.environ["YOLOv4_PATH"] + "/dataset"
         img_dest = f"{dest}/images"
         ann_dest = f"{dest}/labels/yolo"
@@ -899,47 +904,38 @@ class Processor:
                 shutil.rmtree(p) if os.path.isdir(p) else os.unlink(p)
 
         out_idx = 0
-        for sequence in self.config.settings.get("train_sequences", []):
-            self.logger.info(f"preparing sequence {sequence}")
-            base = os.environ["MIDGARD_PATH"]
-            imgs = sorted(
-                __import__("glob").glob(f"{base}/{sequence}/images/image_*.png"))
-            anns = sorted(
-                __import__("glob").glob(f"{base}/{sequence}/annotation/*.txt"))
-            if len(imgs) != len(anns):
-                raise ValueError(
-                    f"input sizes do not match: {len(imgs)} images, {len(anns)} annotations")
-            for i, (img_src, ann_src) in enumerate(zip(imgs, anns)):
-                if mode != Mode.APPEARANCE_RGB and i >= len(imgs) - 2:
-                    continue  # last frames have no flow pair
-                dst_img = f"{img_dest}/{out_idx:06d}.png"
-                if mode == Mode.APPEARANCE_RGB:
-                    shutil.copy2(img_src, dst_img)
-                elif mode == Mode.FLOW_UV:
-                    flow = self._flow_batch([i])[0]
-                    imwrite(dst_img, flow_to_color(flow))
-                else:  # FLOW_FOE_* -> residual magnitude after ego-motion fit
-                    from mav_detection_tpu.ops.geometry import (
-                        affine_motion_field,
-                        fit_affine_ransac,
-                        subtract_global_motion,
-                    )
-
-                    flow = self._flow_batch([i])[0]
-                    h, w = flow.shape[:2]
-                    rng = np.random.default_rng(i)
-                    sy = rng.integers(20, h - 20, 1000)
-                    sx = rng.integers(20, w - 20, 1000)
-                    p0 = np.stack([sx, sy], 1).astype(np.float32)
-                    p1 = p0 + flow[sy, sx]
-                    M, _ = fit_affine_ransac(jnp.asarray(p0), jnp.asarray(p1),
-                                             jax.random.PRNGKey(i))
-                    gm = affine_motion_field(M, h, w)
-                    _, mag = subtract_global_motion(jnp.asarray(flow), gm)
-                    mag = np.asarray(mag)
-                    imwrite(dst_img, (mag * 255 / max(mag.max(), 1e-6)).astype(np.uint8))
-                shutil.copy2(ann_src, f"{ann_dest}/{out_idx:06d}.txt")
-                out_idx += 1
+        orig_dataset = self.dataset
+        try:
+            for sequence in self.config.settings.get("train_sequences", []):
+                self.logger.info(f"preparing sequence {sequence}")
+                base = os.environ["MIDGARD_PATH"]
+                imgs = sorted(glob.glob(f"{base}/{sequence}/images/image_*.png"))
+                anns = sorted(glob.glob(f"{base}/{sequence}/annotation/*.txt"))
+                if len(imgs) != len(anns):
+                    raise ValueError(
+                        f"input sizes do not match: {len(imgs)} images, "
+                        f"{len(anns)} annotations")
+                # flow must come from the sequence BEING EXPORTED — the
+                # reference re-creates its dataset per sequence
+                # (processor.py:142-155); reusing the configured one would
+                # pair every sequence's annotations with one sequence's flow
+                self.dataset = make_dataset(self.config.get_dataset_type(),
+                                            self.config.logger, sequence)
+                for i, (img_src, ann_src) in enumerate(zip(imgs, anns)):
+                    if mode != Mode.APPEARANCE_RGB and i >= len(imgs) - 2:
+                        continue  # last frames have no flow pair
+                    dst_img = f"{img_dest}/{out_idx:06d}.png"
+                    if mode == Mode.APPEARANCE_RGB:
+                        shutil.copy2(img_src, dst_img)
+                    else:
+                        flow = np.asarray(self._flow_batch([i])[0])
+                        frame = np.asarray(self.dataset.get_frame(i))
+                        imwrite(dst_img,
+                                mode_image_host(frame, flow, mode.name, seed=i))
+                    shutil.copy2(ann_src, f"{ann_dest}/{out_idx:06d}.txt")
+                    out_idx += 1
+        finally:
+            self.dataset = orig_dataset
 
     def undistort(self) -> None:
         """External undistortion tool passthrough (processor.py:239-265)."""

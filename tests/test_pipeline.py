@@ -9,7 +9,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from mav_detection_tpu.core.config import RunConfig
+from mav_detection_tpu.core.config import Mode, RunConfig
 from mav_detection_tpu.data.synthetic import SyntheticDataset, SyntheticParams
 from mav_detection_tpu.pipeline.detector import DetectionStep, detect_frame_pair, detect_frame_batch
 from mav_detection_tpu.pipeline.processor import Processor
@@ -394,3 +394,43 @@ class TestWarpDiff:
         diff, mag = warp_diff_method(flow, ident)
         # identity warp: stable == flow -> diff == 0 everywhere inside
         assert float(jnp.abs(diff[1:-1, 1:-1]).max()) < 1e-5
+
+
+class TestConvertExport:
+    def test_convert_uses_per_sequence_flow_and_mode_imagery(
+            self, tmp_path, monkeypatch):
+        """--prepare-dataset export (reference processor.py:209-237): images
+        go through the shared mode transform and the flow comes from the
+        sequence being exported (the reference re-creates its dataset per
+        sequence, processor.py:142-155)."""
+        import glob
+
+        import cv2
+
+        from mav_detection_tpu.pipeline.mode_imagery import mode_image_host
+        from mav_detection_tpu.pipeline.processor import Processor
+
+        # default params: convert re-creates the dataset per sequence via
+        # the factory, which must regenerate the identical content
+        ds = SyntheticDataset(materialize_to=str(tmp_path))
+        monkeypatch.setenv("MIDGARD_PATH", str(tmp_path))
+        monkeypatch.setenv("YOLOv4_PATH", str(tmp_path / "yolo"))
+        monkeypatch.setenv("SYNTHETIC_PATH", str(tmp_path))
+
+        cfg = RunConfig(dataset="synthetic", mode="FLOW_RADIAL",
+                        flow_source="GROUND_TRUTH", headless=True)
+        cfg.settings = {"train_sequences": [ds.sequence]}
+        proc = Processor(cfg)
+        proc.convert(Mode.FLOW_RADIAL)
+
+        imgs = sorted(glob.glob(f"{tmp_path}/yolo/dataset/images/*.png"))
+        anns = sorted(glob.glob(f"{tmp_path}/yolo/dataset/labels/yolo/*.txt"))
+        assert len(imgs) == len(anns) == ds.N - 2  # last pair has no flow
+        # first exported frame == the shared transform on that sequence's
+        # own frame + GT flow (FLOW_RADIAL was unreachable in the reference)
+        expected = mode_image_host(np.asarray(ds.get_frame(0)),
+                                   np.asarray(ds.get_gt_of(0), np.float32),
+                                   "FLOW_RADIAL", seed=0)
+        got = cv2.imread(imgs[0])
+        assert got is not None and got.shape == np.asarray(expected).shape
+        np.testing.assert_array_equal(got, np.asarray(expected, np.uint8))

@@ -255,10 +255,15 @@ def lk_dense_flow(img0: jax.Array, img1: jax.Array, max_corners: int = 2000,
                   smooth: int = 33) -> jax.Array:
     """Dense flow from sparse LK tracks (the --flow-source LUCAS_KANADE path).
 
-    Tracked displacements scatter-add into a grid with validity weights; a
-    box window then interpolates (weighted average) so downstream consumers
-    get an (h, w, 2) field. Simple by design — the reference never densifies
-    LK; this exists so the LK source plugs into the same pipeline surface.
+    Tracked displacements scatter-add into a grid with validity weights and
+    densify by normalized convolution (Knutsson & Westin) with a Gaussian
+    applicability — nearby tracks dominate, so interpolation is locally
+    accurate instead of a flat window average. Where track density vanishes
+    (textureless regions attract no Shi–Tomasi corners) the field blends
+    into a validity-weighted global affine fit of all tracks rather than
+    the zero flow the box-average version produced. The reference never
+    densifies LK; this exists so the LK source plugs into the same pipeline
+    surface, with an accuracy gate in tests/test_cross_domain.py.
     """
     h, w = img0.shape[:2]
     corners = shi_tomasi_corners(img0, max_corners=max_corners,
@@ -272,7 +277,26 @@ def lk_dense_flow(img0: jax.Array, img1: jax.Array, max_corners: int = 2000,
     grid_flow = jnp.zeros((h, w, 2), jnp.float32).at[yi, xi].add(disp * ok[:, None])
     grid_wgt = jnp.zeros((h, w), jnp.float32).at[yi, xi].add(ok)
 
-    box = tuple([1.0] * smooth)
-    num = _sep_correlate(grid_flow, box, box, "edge", "highest")
-    den = _sep_correlate(grid_wgt, box, box, "edge", "highest")
-    return jnp.where(den[..., None] > 1e-6, num / jnp.maximum(den, 1e-6)[..., None], 0.0)
+    # normalized convolution: Gaussian applicability (σ = smooth/4), run as
+    # two banded MXU matmuls like every other separable pass
+    sigma = smooth / 4.0
+    half = smooth // 2
+    g = np.exp(-0.5 * (np.arange(-half, half + 1) / sigma) ** 2)
+    gk = tuple(float(v) for v in g)
+    num = _sep_correlate(grid_flow, gk, gk, "edge", "highest")
+    den = _sep_correlate(grid_wgt, gk, gk, "edge", "highest")
+    local = num / jnp.maximum(den, 1e-6)[..., None]
+
+    # validity-weighted affine fit over all tracks: disp ≈ [x, y, 1] @ coef
+    pts = corners.points
+    X = jnp.stack([pts[:, 0], pts[:, 1], jnp.ones_like(pts[:, 0])], axis=1)
+    Xw = X * ok[:, None]
+    M = X.T @ Xw + 1e-3 * jnp.eye(3, dtype=jnp.float32)
+    coef = jnp.linalg.solve(M, Xw.T @ disp)  # (3, 2)
+    gy, gx = jnp.mgrid[0:h, 0:w]
+    plane = (gx[..., None] * coef[0] + gy[..., None] * coef[1] + coef[2])
+
+    # blend by track density: conf -> 1 where tracks are dense, -> 0 where
+    # the Gaussian window saw (almost) none
+    conf = (den / (den + 0.05))[..., None]
+    return conf * local + (1.0 - conf) * plane.astype(jnp.float32)

@@ -39,8 +39,10 @@ class TestBenchFamily:
         assert bench_metrics["fb_epe"] < 0.25, bench_metrics
 
     def test_lk_dense_epe(self, bench_metrics):
-        # VERDICT r2 #6: the LUCAS_KANADE flow source finally has a gate
-        assert bench_metrics["lk_epe"] < 1.0, bench_metrics
+        # VERDICT r2 #6: the LUCAS_KANADE flow source finally has a gate.
+        # Normalized-convolution densification + affine fallback measured
+        # 0.16 px on this family (box-average was 0.48); rail at 2x.
+        assert bench_metrics["lk_epe"] < 0.35, bench_metrics
 
     @pytest.mark.skipif(not pretrained.has_checkpoint("raft"),
                         reason="no shipped raft checkpoint")

@@ -129,17 +129,21 @@ class Validator:
         path = os.path.join(base,
                             f"nn-input-{self.config.mode.name.lower()}.npz")
         if os.path.exists(path):
-            with np.load(path) as z:
-                if len(z["frames"]) == self.dataset.N:
-                    return path
+            try:  # a truncated/corrupt cache means rebuild, not crash
+                with np.load(path) as z:
+                    if len(z["frames"]) == self.dataset.N:
+                        return path
+            except Exception:
+                pass
         frames = []
         for i in range(self.dataset.N):
             img = self._mode_image(self.dataset, i)
             if img is None:
-                break
+                raise RuntimeError(
+                    f"dataset produced no frame {i}/{self.dataset.N} for NN "
+                    "validation — refusing to post a short stack (box keys "
+                    "are positional)")
             frames.append(np.asarray(img, np.uint8))
-        if not frames:
-            raise RuntimeError("dataset produced no frames for NN validation")
         np.savez_compressed(path, frames=np.stack(frames))
         return path
 
@@ -211,7 +215,9 @@ class Validator:
 
     def _pair_flow(self, dataset, i: int) -> "np.ndarray":
         """Dense flow for pair (i, i+1): precomputed .flo when present, else
-        GT flow, else on-device Farneback."""
+        GT flow, else on-device Farneback — batched in chunks of 8 with a
+        one-chunk cache, since callers sweep i in order (recomputing one
+        pair per call would serialize the whole flow pass at batch 1)."""
         import jax.numpy as _jnp
 
         if dataset.has_precomputed_flow():
@@ -219,12 +225,20 @@ class Validator:
         gt = dataset.get_gt_of(i)
         if gt is not None:
             return np.asarray(gt, np.float32)
-        from mav_detection_tpu.ops.flow import farneback_flow
+        from mav_detection_tpu.ops.flow.farneback import farneback_flow_batch
         from mav_detection_tpu.ops.image.color import bgr_to_gray_host
 
-        return np.asarray(farneback_flow(
-            _jnp.asarray(bgr_to_gray_host(dataset.get_frame(i))),
-            _jnp.asarray(bgr_to_gray_host(dataset.get_frame(i + 1)))))
+        c0 = (i // 8) * 8
+        if getattr(self, "_fb_chunk_start", None) != c0:
+            idx = range(c0, min(c0 + 8, dataset.N - 1))
+            prevs = np.stack([bgr_to_gray_host(dataset.get_frame(k))
+                              for k in idx])
+            currs = np.stack([bgr_to_gray_host(dataset.get_frame(k + 1))
+                              for k in idx])
+            self._fb_chunk = np.asarray(farneback_flow_batch(
+                _jnp.asarray(prevs), _jnp.asarray(currs)))
+            self._fb_chunk_start = c0
+        return self._fb_chunk[i - c0]
 
     def load_results(self) -> None:
         self.frames = {}
@@ -414,12 +428,23 @@ class Validator:
                 headers={"accept": "application/json"},
                 params=(("use_default_weights", use_default_weights),),
                 files={"video": (input_file, fh)})
+        response.raise_for_status()
         with open(output_file, "wb") as out:
             out.write(response.content)
         # keyed by the media hash so a concurrent job on the shared server
         # can't swap its boxes in between our POST and this GET
-        result = requests.get(f"{self.host}/predict_video_boxes",
-                              params={"hash": content_hash}).json()
+        r = requests.get(f"{self.host}/predict_video_boxes",
+                         params={"hash": content_hash})
+        if r.status_code == 404:
+            # the server evicted our job (busy LRU) — the unkeyed GET is a
+            # last resort, racy on a shared server (reference behavior)
+            r = requests.get(f"{self.host}/predict_video_boxes")
+        r.raise_for_status()
+        result = r.json()
+        if not isinstance(result, dict) or "error" in result:
+            # never persist an error payload into the content-hash cache —
+            # a poisoned cache would crash parse_frames on every future run
+            raise RuntimeError(f"inference server error: {result}")
         with open(json_path, "w") as f:
             json.dump(result, f)
         return result

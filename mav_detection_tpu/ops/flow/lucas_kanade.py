@@ -287,14 +287,23 @@ def lk_dense_flow(img0: jax.Array, img1: jax.Array, max_corners: int = 2000,
     den = _sep_correlate(grid_wgt, gk, gk, "edge", "highest")
     local = num / jnp.maximum(den, 1e-6)[..., None]
 
-    # validity-weighted affine fit over all tracks: disp ≈ [x, y, 1] @ coef
+    # validity-weighted affine fit over all tracks: disp ≈ [x', y', 1] @ coef
+    # with coordinates centered and scaled to ~[-1, 1] — unnormalized normal
+    # equations at 1920x1024 have condition ~1e7, past f32's useful range
+    scale = float(max(h, w))
     pts = corners.points
-    X = jnp.stack([pts[:, 0], pts[:, 1], jnp.ones_like(pts[:, 0])], axis=1)
+    xn = (pts[:, 0] - w / 2.0) / scale
+    yn = (pts[:, 1] - h / 2.0) / scale
+    X = jnp.stack([xn, yn, jnp.ones_like(xn)], axis=1)
     Xw = X * ok[:, None]
-    M = X.T @ Xw + 1e-3 * jnp.eye(3, dtype=jnp.float32)
-    coef = jnp.linalg.solve(M, Xw.T @ disp)  # (3, 2)
+    M = jnp.dot(X.T, Xw, precision=jax.lax.Precision.HIGHEST)
+    M = M + 1e-4 * jnp.eye(3, dtype=jnp.float32)
+    rhs = jnp.dot(Xw.T, disp, precision=jax.lax.Precision.HIGHEST)
+    coef = jnp.linalg.solve(M, rhs)  # (3, 2)
     gy, gx = jnp.mgrid[0:h, 0:w]
-    plane = (gx[..., None] * coef[0] + gy[..., None] * coef[1] + coef[2])
+    gxn = (gx[..., None] - w / 2.0) / scale
+    gyn = (gy[..., None] - h / 2.0) / scale
+    plane = gxn * coef[0] + gyn * coef[1] + coef[2]
 
     # blend by track density: conf -> 1 where tracks are dense, -> 0 where
     # the Gaussian window saw (almost) none

@@ -778,8 +778,11 @@ class Processor:
                    str(fps), "-i", os.path.join(img_dir, "image_%05d.png"),
                    "-c:v", "libx264", "-pix_fmt", "yuv420p", out_path]
             try:
-                subprocess.call(cmd)
-                return
+                # check the exit code: an ffmpeg without libx264 exits
+                # non-zero without raising, and must fall through to cv2
+                if subprocess.run(cmd).returncode == 0:
+                    return
+                self.logger.warning("ffmpeg encode failed; trying cv2")
             except Exception as e:  # pragma: no cover
                 self.logger.warning(f"ffmpeg encode failed: {e}")
         try:
@@ -839,19 +842,20 @@ class Processor:
                 f"exceeds MAVTPU_NPZ_MAX_BYTES "
                 f"({self.NPZ_MAX_BYTES / 2**30:.1f} GiB)")
             return
-        # preallocate so peak host memory is one copy of the stack; skip
-        # unreadable/ragged frames instead of crashing np.stack on a None
+        # preallocate so peak host memory is one copy of the stack. A bad
+        # frame aborts the WHOLE artifact: box/annotation consumers key by
+        # position, so silently dropping a middle frame would off-by-one
+        # every frame after it.
         frames = np.empty((len(pngs),) + first.shape, first.dtype)
-        n = 0
-        for p in pngs:
-            f = first if p == pngs[0] else cv2.imread(p)
+        for n, p in enumerate(pngs):
+            f = first if n == 0 else cv2.imread(p)
             if f is None or f.shape != first.shape:
-                self.logger.warning(f"npz encode: skipping bad frame {p}")
-                continue
+                self.logger.warning(
+                    f"npz encode skipped: bad frame {p} (positional box "
+                    "protocol forbids dropping frames)")
+                return
             frames[n] = f
-            n += 1
-        if n:
-            np.savez_compressed(out_path, frames=frames[:n])
+        np.savez_compressed(out_path, frames=frames)
 
     # ----------------------------------------------- dataset conversion
     def annotation_to_yolo(self, rects) -> str:

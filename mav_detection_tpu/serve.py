@@ -230,13 +230,18 @@ class _Handler(BaseHTTPRequestHandler):
             self._json({"start_time": self.server.start_time})
         elif path == "/predict_video_boxes":
             digest = parse_qs(urlparse(self.path).query).get("hash", [None])[0]
+            # snapshot under the lock, write to the socket OUTSIDE it — a
+            # stalled client reader must not block every other handler
             with self.server._lock:
                 if digest is None:  # reference-sidecar behavior: last job
-                    self._json(dict(self.server.last_boxes))
-                elif digest in self.server.boxes_by_hash:
-                    self._json(dict(self.server.boxes_by_hash[digest]))
+                    boxes = dict(self.server.last_boxes)
                 else:
-                    self._json({"error": f"unknown job hash {digest}"}, 404)
+                    boxes = self.server.boxes_by_hash.get(digest)
+                    boxes = dict(boxes) if boxes is not None else None
+            if boxes is not None:
+                self._json(boxes)
+            else:
+                self._json({"error": f"unknown job hash {digest}"}, 404)
         elif path == "/health":
             self._json({"ok": True})
         else:

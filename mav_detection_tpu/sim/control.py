@@ -348,7 +348,7 @@ def main(argv: Optional[List[str]] = None) -> None:
     else:
         from mav_detection_tpu.sim.client import AirSimClient
 
-        client = AirSimClient(ip=args.ip)
+        client = AirSimClient(ip=args.ip or os.environ.get("IP_ADDRESS"))
     SimDataCollector(client, collections[args.collection],
                      root_data_dir=args.data_dir, speed=args.speed,
                      max_iterations=args.max_iterations).run()

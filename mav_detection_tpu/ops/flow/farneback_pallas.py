@@ -46,6 +46,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+try:  # public in newer JAX; private core path on 0.9
+    from jax.experimental.pallas import Element as _Element
+except ImportError:  # pragma: no cover
+    from jax._src.pallas.core import Element as _Element
+
 
 def _stack_bands(x: jax.Array, th: int, halo: int, axis_h: int) -> jax.Array:
     """(…, H, …) -> (…, nbands, th + 2*halo, …): overlapping row bands of an
@@ -76,7 +81,39 @@ def _stack_tiles(x: jax.Array, th: int, tw: int, halo_r: int,
 def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
                        *, th: int, tw: int, H: int, W: int, S: int, m: int,
                        inv_win2: float):
-    """One Farneback iteration for one (batch, band, coltile) grid step."""
+    """One Farneback iteration for one (batch, band, coltile) grid step —
+    stacked-halo layout (inputs pre-banded by ``_stack_tiles``)."""
+    _iter_math(flow_ref[0, 0, 0, 0], flow_ref[0, 1, 0, 0],
+               [slab_ref[0, c, 0, 0] for c in range(5)],
+               [r0_ref[0, c, 0, 0] for c in range(5)],
+               border_ref[0, 0], out_ref,
+               th=th, tw=tw, H=H, W=W, S=S, m=m, inv_win2=inv_win2)
+
+
+def _fused_iter_kernel_element(flow_ref, slab_ref, r0_ref, border_ref,
+                               out_ref, *, th: int, tw: int, H: int, W: int,
+                               S: int, m: int, inv_win2: float):
+    """Element-halo variant: blocks window DIRECTLY into edge-padded planar
+    arrays via ``pl.Element`` start indices, so no per-iteration XLA restack
+    of the flow (and no 2x+ stacked copies of the coefficient slabs) is
+    materialized in HBM. Same math as the stacked kernel — parity-tested.
+
+    Flow block: (1, 2, th + 2m, tw + 2P); slab/r0: (1, 5, th + 2P, tw + 2P);
+    border: (th + 2P, tw + 2P). Row/col element starts are band*th / tile*tw
+    into arrays pre-padded by their halo."""
+    _iter_math(flow_ref[0, 0], flow_ref[0, 1],
+               [slab_ref[0, c] for c in range(5)],
+               [r0_ref[0, c] for c in range(5)],
+               border_ref[...], out_ref,
+               th=th, tw=tw, H=H, W=W, S=S, m=m, inv_win2=inv_win2)
+
+
+def _iter_math(dx, dy, slabs, r0cs, bor_plane, out_ref,
+               *, th: int, tw: int, H: int, W: int, S: int, m: int,
+               inv_win2: float):
+    """The shared per-block iteration body (see module docstring for plane
+    coordinate conventions). ``dx``/``dy``: (th + 2m, tw + 2P); ``slabs`` /
+    ``r0cs``: five (th + 2P, tw + 2P) planes; ``bor_plane``: (th+2P, tw+2P)."""
     P = S + 1 + m
     band = pl.program_id(1)
     tile = pl.program_id(2)
@@ -88,9 +125,6 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
     acols = tw + 2 * m + 2 * S + 1    # cols of the A region
     o_f = P - m                       # plane-col offset of the M region
     o_a = P - m - S                   # plane-col offset of the A region
-
-    dx = flow_ref[0, 0, 0, 0]         # (mrows, tw + 2P)
-    dy = flow_ref[0, 1, 0, 0]
 
     # Coordinates are CLAMPED to the image for the weight computation: a
     # virtual (halo) position then reproduces its edge pixel's fractional
@@ -117,8 +151,6 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
     fy = jnp.where(inside, fy, 0.0)
     sy = jnp.clip(y1 - y_eff, -S, S)
     sx = jnp.clip(x1 - x_eff, -S, S)
-
-    slabs = [slab_ref[0, c, 0, 0] for c in range(5)]  # (th + 2P, tw + 2P)
 
     # ---- y-stage: A[c][j, a] = (1-fy) R1[y+sy, x] + fy R1[y+sy+1, x]
     fy_a = jax.lax.slice(fy, (0, o_a), (mrows, o_a + acols))
@@ -147,10 +179,10 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
                                               (mrows, col0 + mcols))
 
     def r0_plane(c):
-        return jax.lax.slice(r0_ref[0, c, 0, 0], (o_f, o_f),
+        return jax.lax.slice(r0cs[c], (o_f, o_f),
                              (o_f + mrows, o_f + mcols))
 
-    bmap = jax.lax.slice(border_ref[0, 0], (o_f, o_f),
+    bmap = jax.lax.slice(bor_plane, (o_f, o_f),
                          (o_f + mrows, o_f + mcols))
     r4 = (r0_plane(2) + r[2]) * 0.5
     r5 = (r0_plane(3) + r[3]) * 0.5
@@ -216,7 +248,7 @@ def _fused_iter_kernel(flow_ref, slab_ref, r0_ref, border_ref, out_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("iterations", "winsize", "max_shift", "band_rows",
-                     "tile_cols", "interpret"))
+                     "tile_cols", "interpret", "halo"))
 def farneback_iterate_pallas(
     R0cf: jax.Array,            # (b, 5, H, W) channel-first coefficients
     R1cf: jax.Array,            # (b, 5, H, W)
@@ -228,6 +260,7 @@ def farneback_iterate_pallas(
     band_rows: int = 8,
     tile_cols: int = 0,
     interpret: bool = False,
+    halo: str = "stacked",
 ) -> jax.Array:
     """Run ``iterations`` fused Farneback iterations; returns (b, 2, H, W).
 
@@ -273,6 +306,48 @@ def farneback_iterate_pallas(
     nctiles = -(-W // tw)
     Wp = nctiles * tw
 
+    outspec_common = pl.BlockSpec(
+        (1, 2, th, tw), lambda i, j, t: (i, 0, j, t),
+        memory_space=pltpu.VMEM)
+
+    if halo == "element":
+        # window directly into edge-padded planar arrays with pl.Element
+        # start indices: no per-iteration restack of the flow, no stacked
+        # copies of the (loop-invariant) coefficient slabs in HBM
+        def pad_plane(x, hr, hc):
+            pads = ([(0, 0)] * (x.ndim - 2)
+                    + [(hr, hr + Hp - H), (hc, hc + Wp - W)])
+            return jnp.pad(x, pads, mode="edge")
+
+        slab_e = pad_plane(R1cf, P, P)
+        r0_e = pad_plane(R0cf, P, P)
+        bor_e = pad_plane(border, P, P)
+        kern_e = functools.partial(
+            _fused_iter_kernel_element, th=th, tw=tw, H=H, W=W, S=S, m=m,
+            inv_win2=1.0 / (winsize * winsize))
+        bandspec_e = pl.BlockSpec(
+            (1, 5, _Element(th + 2 * P), _Element(tw + 2 * P)),
+            lambda i, j, t: (i, 0, j * th, t * tw), memory_space=pltpu.VMEM)
+        borspec_e = pl.BlockSpec(
+            (_Element(th + 2 * P), _Element(tw + 2 * P)),
+            lambda i, j, t: (j * th, t * tw), memory_space=pltpu.VMEM)
+        flowspec_e = pl.BlockSpec(
+            (1, 2, _Element(th + 2 * m), _Element(tw + 2 * P)),
+            lambda i, j, t: (i, 0, j * th, t * tw), memory_space=pltpu.VMEM)
+        call_e = pl.pallas_call(
+            kern_e,
+            out_shape=jax.ShapeDtypeStruct((b, 2, Hp, Wp), jnp.float32),
+            grid=(b, nbands, nctiles),
+            in_specs=[flowspec_e, bandspec_e, bandspec_e, borspec_e],
+            out_specs=outspec_common,
+            interpret=interpret,
+        )
+        flow = flow0
+        for _ in range(iterations):
+            flow = call_e(pad_plane(flow, m, P), slab_e, r0_e,
+                          bor_e)[:, :, :H, :W]
+        return flow
+
     # loop-invariant tiled operands (built once, reused every iteration)
     slab = _stack_tiles(R1cf, th, tw, P, P)
     r0b = _stack_tiles(R0cf, th, tw, P, P)
@@ -291,16 +366,12 @@ def farneback_iterate_pallas(
     flowspec = pl.BlockSpec(
         (1, 2, 1, 1, th + 2 * m, tw + 2 * P),
         lambda i, j, t: (i, 0, j, t, 0, 0), memory_space=pltpu.VMEM)
-    outspec = pl.BlockSpec(
-        (1, 2, th, tw), lambda i, j, t: (i, 0, j, t),
-        memory_space=pltpu.VMEM)
-
     call = pl.pallas_call(
         kern,
         out_shape=jax.ShapeDtypeStruct((b, 2, Hp, Wp), jnp.float32),
         grid=(b, nbands, nctiles),
         in_specs=[flowspec, bandspec5, bandspec5, borspec],
-        out_specs=outspec,
+        out_specs=outspec_common,
         interpret=interpret,
     )
 

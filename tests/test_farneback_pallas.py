@@ -122,6 +122,28 @@ class TestFusedIteration:
             np.testing.assert_allclose(tiled, whole, atol=1e-5,
                                        err_msg=f"tile_cols={tile_cols}")
 
+    def test_element_halo_matches_stacked(self):
+        """halo="element" (pl.Element windows into edge-padded planes — no
+        per-iteration XLA restack) must be bit-exact with the stacked-halo
+        layout, whole-width and column-tiled."""
+        prev8, curr8 = _scene(64, 96, seed=13)
+        p = jnp.asarray(prev8, jnp.float32)[..., None]
+        c = jnp.asarray(curr8, jnp.float32)[..., None]
+        R0 = jnp.transpose(_poly_exp(p, 8, 1.2), (2, 3, 0, 1))
+        R1 = jnp.transpose(_poly_exp(c, 8, 1.2), (2, 3, 0, 1))
+        border = _border_scale_map(64, 96)
+        for extra in ({}, {"tile_cols": 40}):
+            kw = dict(iterations=3, band_rows=16, max_shift=8,
+                      interpret=True, **extra)
+            stacked = np.asarray(farneback_iterate_pallas(
+                R0, R1, jnp.zeros((1, 2, 64, 96)), border,
+                halo="stacked", **kw))
+            element = np.asarray(farneback_iterate_pallas(
+                R0, R1, jnp.zeros((1, 2, 64, 96)), border,
+                halo="element", **kw))
+            np.testing.assert_array_equal(element, stacked,
+                                          err_msg=f"extra={extra}")
+
     def test_wide_frame_auto_tiles(self):
         """W > 1024 auto-splits into column tiles and still matches the
         XLA separable path (the AirSim 1920-wide readiness guarantee)."""

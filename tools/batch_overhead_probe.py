@@ -70,6 +70,13 @@ def main() -> None:
                 max_shift=S, band_rows=th)
             return jnp.sum(out)
 
+        # --- element-halo variant: pl.Element windows, no restack
+        def full_element(n, R0=R0, R1=R1, flow=flow, border=border, b=b):
+            out = fp.farneback_iterate_pallas(
+                R0, R1, flow, border, iterations=int(n), winsize=win,
+                max_shift=S, band_rows=th, halo="element")
+            return jnp.sum(out)
+
         # fori-based variants need static tile geometry mirroring the entry
         nbands = -(-H // th)
         tw = W  # same auto choice as the entry for W <= 1024
@@ -126,8 +133,13 @@ def main() -> None:
         ms_full = amortized_ms(full) / b
         ms_kernel = amortized_ms(kernel_only) / b
         ms_restack = amortized_ms(restack_only) / b
+        try:
+            ms_elem = f"{amortized_ms(full_element) / b:.3f}"
+        except Exception as e:  # Mosaic may reject Element dims
+            ms_elem = f"unsupported ({type(e).__name__})"
         print(f"b={b}: full {ms_full:.3f} ms/frame/iter | kernel-only "
-              f"{ms_kernel:.3f} | restack-only {ms_restack:.3f}")
+              f"{ms_kernel:.3f} | restack-only {ms_restack:.3f} | "
+              f"element-halo {ms_elem}")
 
 
 if __name__ == "__main__":

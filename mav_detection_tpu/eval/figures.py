@@ -235,6 +235,7 @@ def foe_angular_error_map(dataset, n_frames: int = 100, cap_deg: float = 43.0,
 
     n = min(n_frames, dataset.N - 1)
     acc = None
+    used = 0
     for i in range(n):
         flow = jnp.asarray(np.asarray(dataset.get_flow_uv(i), np.float32))
         foe = dataset.get_gt_foe(i)
@@ -242,9 +243,12 @@ def foe_angular_error_map(dataset, n_frames: int = 100, cap_deg: float = 43.0,
             continue
         phi = get_phi(flow, jnp.asarray(foe, jnp.float32))
         acc = phi if acc is None else acc + phi
+        used += 1
     if acc is None:
         raise ValueError("dataset provides no GT FoE")
-    avg = np.asarray(acc) / n
+    # divide by the frames ACTUALLY accumulated, not the frames attempted —
+    # sparse GT FoE would otherwise silently scale the error map down
+    avg = np.asarray(acc) / used
     avg = np.minimum(avg, cap_deg)
     if out_path:
         from mav_detection_tpu.ops.image import apply_colormap

@@ -35,7 +35,13 @@ FOE_STABILIZE_FRAME = 56
 
 def binned_mean_std(x: np.ndarray, y: np.ndarray, bins: np.ndarray) -> np.ndarray:
     """(len(bins), 3) rows of [mean_x, mean_y, std_y] per bin — vectorized
-    replacement for the reference's per-bin loops (validator.py:240-259)."""
+    replacement for the reference's per-bin loops (validator.py:240-259).
+
+    Deliberately bug-compatible shape: like the reference's ``get_avg_std``
+    (``np.zeros((len(bins), 3))`` filled by a ``range(1, len(bins))`` loop),
+    the LAST row is never written and stays zero; the reference plots the
+    full array (and slices ``[:-1]`` only for the detection ROC), and so do
+    we — changing the shape would change validation.npy's contract."""
     out = np.zeros((len(bins), 3))
     y_finite_mask = ~np.isnan(y)
     idx = np.digitize(x, bins) - 1

@@ -154,20 +154,11 @@ def build_feature_pyramid(f2: jax.Array, levels: int) -> Sequence[jax.Array]:
 
 
 def _bilinear_features(fmap: jax.Array, cx: jax.Array, cy: jax.Array) -> jax.Array:
-    """Sample (th, tw, c) features at float coords -> (h, w, c)."""
-    th, tw = fmap.shape[:2]
-    x0 = jnp.floor(cx)
-    y0 = jnp.floor(cy)
-    fx = cx - x0
-    fy = cy - y0
-    x0i = jnp.clip(x0, 0, tw - 1).astype(jnp.int32)
-    y0i = jnp.clip(y0, 0, th - 1).astype(jnp.int32)
-    x1i = jnp.minimum(x0i + 1, tw - 1)
-    y1i = jnp.minimum(y0i + 1, th - 1)
-    return (((1 - fx) * (1 - fy))[..., None] * fmap[y0i, x0i]
-            + (fx * (1 - fy))[..., None] * fmap[y0i, x1i]
-            + ((1 - fx) * fy)[..., None] * fmap[y1i, x0i]
-            + (fx * fy)[..., None] * fmap[y1i, x1i])
+    """Sample (th, tw, c) features at float coords -> (h, w, c) — the shared
+    replicate-border sampler (ops.geometry.warp)."""
+    from mav_detection_tpu.ops.geometry.warp import sample_bilinear_replicate
+
+    return sample_bilinear_replicate(fmap, cx, cy)
 
 
 def lookup_corr_otf(f1: jax.Array, f2_pyramid: Sequence[jax.Array],
@@ -360,7 +351,7 @@ class _RefineStep(nn.Module):
     config: RAFTConfig
 
     @nn.compact
-    def __call__(self, carry, context, f1, pyramid, vols):
+    def __call__(self, carry, context, pyramid, vols):
         hidden, flow = carry
         cfg = self.config
         if cfg.materialize_corr:
@@ -411,12 +402,12 @@ class RAFT(nn.Module):
             _RefineStep,
             variable_broadcast="params",
             split_rngs={"params": False},
-            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+            in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
             out_axes=0,
             length=iters,
         )
         (_, flow), (flows8, masks) = scan(cfg, name="refine")(
-            (hidden, flow), context, f1, pyramid, vols)
+            (hidden, flow), context, pyramid, vols)
 
         predictions = jax.vmap(convex_upsample)(flows8, masks)
         return predictions[-1], predictions

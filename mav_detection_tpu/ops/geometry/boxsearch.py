@@ -54,7 +54,10 @@ def analyze_pyramid(img: jax.Array, window: int = 64, step: int = 16,
     if x.ndim == 3:
         x = x.sum(axis=-1)
 
-    best_score = jnp.float32(-1.0)
+    # reference init: result = (0, Rectangle((0,0),(0,0)), ...) with a strict
+    # `<` comparison (detector.py:293,305) — an all-zero image keeps the
+    # empty box
+    best_score = jnp.float32(0.0)
     best_box = jnp.zeros(4, jnp.float32)
     best_level = jnp.int32(0)
 
@@ -68,14 +71,10 @@ def analyze_pyramid(img: jax.Array, window: int = 64, step: int = 16,
         ny = max((lh - window) // step + 1, 0)
         nx = max((lw - window) // step + 1, 0)
         if ny == 0 or nx == 0:
-            # level smaller than the window: single clipped window at origin
-            sc = _rect_sum(ii, 0, 0, min(window, lw), min(window, lh))
-            better = sc > best_score
-            box = jnp.array([0.0, 0.0, float(window * factor),
-                             float(window * factor)], jnp.float32)
-            best_box = jnp.where(better, box, best_box)
-            best_level = jnp.where(better, lvl, best_level)
-            best_score = jnp.maximum(best_score, sc)
+            # level smaller than the window contributes nothing: the
+            # reference skips every partial window (im_helpers.py:52,
+            # detector.py:297-298), so scoring a clipped region here would
+            # report a box larger than the image that was never scored
             continue
         ys = jnp.arange(ny) * step
         xs = jnp.arange(nx) * step
@@ -143,9 +142,6 @@ def optimize_window(mag_img: jax.Array, box_xywh: jax.Array,
         new_box = jnp.where(improved, cands[best], box)
         new_score = jnp.where(improved, scores[best], cur)
         return new_box, new_score, improved
-
-    def cond(state):
-        return state[2]
 
     init = (box_xywh.astype(jnp.float32), score(box_xywh.astype(jnp.float32)),
             jnp.bool_(True))

@@ -139,12 +139,15 @@ def get_foe_sparse(points_old: jax.Array, points_new: jax.Array,
     masked out rather than filtered.
     """
     d = points_new - points_old
-    # pair each line with its rolled neighbor (a fixed derangement)
+    moving = valid & (jnp.linalg.norm(d, axis=-1) > 0.5)
+    # pair each line with its rolled neighbor (a fixed derangement); the
+    # partner must pass the SAME displacement gate — a near-stationary
+    # partner line is noise-dominated and its intersection must not vote
+    # (get_foe_sparse_traced rolls the gated mask the same way)
     p2 = jnp.roll(points_new, 1, axis=0)
     d2 = jnp.roll(d, 1, axis=0)
-    v2 = jnp.roll(valid, 1, axis=0)
     pts, ok = line_intersections(points_new, -d, p2, -d2)
-    ok = ok & valid & v2 & (jnp.linalg.norm(d, axis=-1) > 0.5)
+    ok = ok & moving & jnp.roll(moving, 1, axis=0)
     pts = jnp.where(ok[..., None], pts, 0.0)
     return foe_ransac(pts, ok, ransac_threshold)
 

@@ -25,7 +25,7 @@ def affine_motion_field(M: jax.Array, height: int, width: int) -> jax.Array:
     return jnp.stack([u, v], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("height", "width"))
+@partial(jax.jit, static_argnames=("height", "width", "projective"))
 def homography_motion_field(H: jax.Array, height: int, width: int,
                             projective: bool = False) -> jax.Array:
     """(h, w, 2) displacement field of a 3x3 homography.
@@ -68,8 +68,9 @@ def warp_diff_method(flow_uv: jax.Array, M: jax.Array,
         stable = warp_perspective(flow_uv, M)
     else:
         stable = warp_affine(flow_uv, M)
-    # pixels the warp left empty keep the original flow (reference :226-228)
-    empty = jnp.all(stable == 0.0, axis=-1, keepdims=True)
-    patched = jnp.where(empty, stable, flow_uv)
+    # zero-warped COMPONENTS take the warped (zero) value — the reference's
+    # elementwise mask is per channel, not per pixel (detector.py:226-228:
+    # ``mask = flow_uv_stable == [0, 0]; flow_uv[mask] = flow_uv_stable[mask]``)
+    patched = jnp.where(stable == 0.0, stable, flow_uv)
     diff = patched - stable
     return diff, jnp.linalg.norm(diff, axis=-1)

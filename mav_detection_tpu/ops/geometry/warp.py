@@ -46,6 +46,31 @@ def remap_bilinear(img: jax.Array, map_x: jax.Array, map_y: jax.Array) -> jax.Ar
     return out.astype(img.dtype)
 
 
+def sample_bilinear_replicate(fmap: jax.Array, cx: jax.Array,
+                              cy: jax.Array) -> jax.Array:
+    """Clamped bilinear sampling of (h, w[, c]) at float coords with
+    REPLICATE borders — the shared sampler for feature/texture lookups
+    (RAFT correlation taps, synthetic-scene warps). ``remap_bilinear``
+    above keeps cv2's BORDER_CONSTANT parity instead; they are distinct
+    border contracts, not duplicates."""
+    h, w = fmap.shape[:2]
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = cx - x0
+    fy = cy - y0
+    x0i = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    y0i = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    if fmap.ndim == 3:
+        fx = fx[..., None]
+        fy = fy[..., None]
+    return ((1 - fx) * (1 - fy) * fmap[y0i, x0i]
+            + fx * (1 - fy) * fmap[y0i, x1i]
+            + (1 - fx) * fy * fmap[y1i, x0i]
+            + fx * fy * fmap[y1i, x1i])
+
+
 def _dst_grid(out_hw: Tuple[int, int], dtype=jnp.float32):
     h, w = out_hw
     xs = jax.lax.broadcasted_iota(dtype, (h, w), 1)

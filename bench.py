@@ -153,7 +153,7 @@ def _params():
 
     warp = os.environ.get("MAV_BENCH_WARP", "pallas")
     fast = warp not in ("pallas",)  # pallas refits every iteration anyway
-    # levels=3: pyramid init is required for the Jacobi solver to converge on
+    # levels=2 (cv2 semantics: 3 layers) — pyramid init is required to converge on
     # large motion (cv2's Gauss-Seidel row sweep converges from zero at L1;
     # our Jacobi shares the fixed point but not the basin). Measured on this
     # scene: L1 2.2 px vs GT, L3 0.34 px = parity with cv2's own 0.36.
@@ -165,9 +165,9 @@ def _params():
     # the halo amortizes — 7.48 -> 3.25 ms/frame at IDENTICAL measured EPE
     # (the epe_check assert below keeps this honest on every run).
     if warp == "pallas":
-        return FarnebackParams(levels=3, pyr_scale=0.5, warp=warp, fast=fast,
+        return FarnebackParams(levels=2, pyr_scale=0.5, warp=warp, fast=fast,
                                iterations=6, max_shift=8, band_rows=24)
-    return FarnebackParams(levels=3, pyr_scale=0.5, warp=warp, fast=fast,
+    return FarnebackParams(levels=2, pyr_scale=0.5, warp=warp, fast=fast,
                            iterations=10)
 
 

@@ -450,16 +450,19 @@ def _farneback_hwb(prev: jax.Array, curr: jax.Array,
     curr = curr.astype(jnp.float32)
     h, w, b = prev.shape
 
-    # Cap levels so coarse layers keep enough pixels for the poly window.
-    levels = params.levels
-    scales = []
-    for k_level in range(levels):
+    # cv2 semantics (farneback.cpp iterates k = levels..0): ``levels`` is the
+    # number of EXTRA coarse layers on top of the original image, so N+1
+    # layers total. Verified empirically: cv2 levels=0 diverges on a 5 px
+    # sharp-texture scene where levels=1 converges — the documented
+    # "levels=1 means no extra layers" is wrong about cv2's own code, and a
+    # same-number drop-in must reproduce cv2's behavior.
+    # Cap so coarse layers keep enough pixels for the poly window.
+    scales = [1.0]
+    for k_level in range(1, params.levels + 1):
         scale = params.pyr_scale ** k_level
         if min(h, w) * scale < 2 * params.poly_n + 1:
             break
         scales.append(scale)
-    if not scales:
-        scales = [1.0]
 
     flow = None
     for k_level in reversed(range(len(scales))):

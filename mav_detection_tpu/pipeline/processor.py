@@ -68,11 +68,13 @@ class Processor:
         self._flo_prefetcher = None
         self.frame_step_size = 1
         self.is_exiting = False
-        # levels=3 matters: the Jacobi solver shares cv2's fixed point but
-        # (unlike cv2's row-sequential Gauss-Seidel sweep) will not CONVERGE
-        # to it from a zero init when motion is large — pyramid init fixes
-        # that (measured on the 8 px non-uniform bench scene: L1 EPE 2.2 px
-        # vs GT, L3 0.34 px = cv2 parity).
+        # levels=2 (cv2 semantics: 3 layers) matters: coarse layers keep
+        # large motion inside the poly-expansion linearization range
+        # (measured on the 8 px non-uniform bench scene: single-layer EPE
+        # 2.2 px vs GT, 3 layers 0.34 px = cv2 parity). Round-2's
+        # Jacobi-vs-Gauss-Seidel story overstated the solver-sweep effect:
+        # the dominant factor was the pyramid depth (cv2's levels=1 already
+        # runs TWO layers — see farneback.py's cv2-semantics note).
         # On TPU the product default is the fused Pallas kernel at its tuned
         # configuration (S=8, 24-row bands — PERF.md "Pallas kernel tuning",
         # 458 fps/chip on the bench scene); elsewhere (CPU tests, interpret
@@ -81,11 +83,11 @@ class Processor:
         # max_shift coverage ("auto").
         if jax.default_backend() == "tpu":
             self._farneback = FarnebackParams(
-                warp="pallas", levels=3, pyr_scale=0.5, iterations=6,
+                warp="pallas", levels=2, pyr_scale=0.5, iterations=6,
                 max_shift=8, band_rows=24)
         else:
             self._farneback = FarnebackParams(warp="auto", fast=True,
-                                              levels=3, pyr_scale=0.5)
+                                              levels=2, pyr_scale=0.5)
         self.tracer = Tracer()
         # write per-frame debug images (result/derotated/phi/overlay); JSON
         # results are always written. Disable for throughput runs.

@@ -66,7 +66,9 @@ class TestFarnebackParity:
     def test_batch_matches_single(self):
         prev0, curr0 = make_pair(seed=1)
         prev1, curr1 = make_pair(d=(-2.0, 1.5), seed=2)
-        p = FarnebackParams(0.5, 1, 13, 5, 5, 1.1)
+        # levels=0 (single layer): batching mechanics at tight tolerance,
+        # without the coarse layer's reduction-order noise
+        p = FarnebackParams(0.5, 0, 13, 5, 5, 1.1)
         batch = np.asarray(
             farneback_flow_batch(
                 jnp.asarray(np.stack([prev0, prev1])),
@@ -81,7 +83,9 @@ class TestFarnebackParity:
 
     def test_zero_motion_gives_zero_flow(self):
         prev, _ = make_pair(seed=9)
-        p = FarnebackParams(0.5, 1, 13, 5, 5, 1.1)
+        # levels=0 (single layer): batching mechanics at tight tolerance,
+        # without the coarse layer's reduction-order noise
+        p = FarnebackParams(0.5, 0, 13, 5, 5, 1.1)
         ours = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(prev), p))
         assert np.abs(ours).max() < 1e-2
 
@@ -130,14 +134,17 @@ class TestSeparableWarp:
         exceeds the separable warp's coverage: the lax.cond falls back to the
         exact gather per refit (VERDICT r1 weak #1)."""
         prev, curr = make_pair(d=(11.0, 0.0), blur=1.5, seed=14)
+        # levels=0: single layer, so the full 11 px displacement hits the
+        # warp directly (a pyramid would shrink the per-level residual
+        # below max_shift and never exercise the fallback)
         exact = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr),
-                                          FarnebackParams(warp="gather")))
+                                          FarnebackParams(levels=0, warp="gather")))
         auto = np.asarray(farneback_flow(
             jnp.asarray(prev), jnp.asarray(curr),
-            FarnebackParams(warp="auto", max_shift=8)))
+            FarnebackParams(levels=0, warp="auto", max_shift=8)))
         sep = np.asarray(farneback_flow(
             jnp.asarray(prev), jnp.asarray(curr),
-            FarnebackParams(warp="separable", max_shift=8)))
+            FarnebackParams(levels=0, warp="separable", max_shift=8)))
         err_auto = np.linalg.norm(auto - exact, axis=-1)[INNER].mean()
         err_sep = np.linalg.norm(sep - exact, axis=-1)[INNER].mean()
         assert err_auto < 0.05          # auto == gather here
@@ -152,14 +159,15 @@ class TestSeparableWarp:
         assert np.linalg.norm(auto - sep, axis=-1).max() < 1e-4
 
     def test_pyramid_required_for_large_nonuniform_motion(self):
-        """The Jacobi solver shares cv2's fixed point but not its convergence
-        basin: cv2's Gauss-Seidel row sweep converges from zero init at
-        levels=1 even for ~6 px motion, our Jacobi sweep does not. The
-        PRODUCT default (levels=3, Processor.__init__/bench.py) must land on
-        the cv2-at-reference-spec solution; single-level must measurably
-        diverge on the same scene (that divergence is why the default has a
-        pyramid). Scene: radial expansion about an off-center FoE (spatially
-        varying flow, ~9 px at the far corner)."""
+        """cv2's ``levels`` counts EXTRA coarse layers (its levels=1 runs
+        TWO layers — verified against cv2's own levels=0, which diverges
+        where levels=1 converges). With matched semantics our levels=1 must
+        land on cv2-at-reference-spec; a true single-layer solve (levels=0)
+        must measurably diverge on the same scene — that divergence is why
+        the product default keeps a pyramid (levels=2 = 3 layers). Round 2
+        attributed the old divergence to the Jacobi-vs-Gauss-Seidel sweep;
+        the dominant factor was the missing coarse layer. Scene: radial
+        expansion about an off-center FoE (~9 px at the far corner)."""
         h, w = 240, 376
         rng = np.random.default_rng(21)
         base = cv2.GaussianBlur(rng.random((h, w)).astype(np.float32),
@@ -184,13 +192,18 @@ class TestSeparableWarp:
                                            0.4, 1, 12, 10, 8, 1.2, 0)
         a, b = jnp.asarray(prev8), jnp.asarray(curr8)
         l3 = np.asarray(farneback_flow(a, b, FarnebackParams(
-            levels=3, pyr_scale=0.5, warp="auto", fast=True)))
+            levels=2, pyr_scale=0.5, warp="auto", fast=True)))
         l1 = np.asarray(farneback_flow(a, b, FarnebackParams(
             levels=1, warp="auto", fast=True)))
+        l0 = np.asarray(farneback_flow(a, b, FarnebackParams(
+            levels=0, warp="auto", fast=True)))
         err_l3 = np.linalg.norm(l3 - ref, axis=-1)[INNER].mean()
         err_l1 = np.linalg.norm(l1 - ref, axis=-1)[INNER].mean()
+        err_l0 = np.linalg.norm(l0 - ref, axis=-1)[INNER].mean()
         assert err_l3 < 0.15, err_l3
-        assert err_l1 > 3 * err_l3, (err_l1, err_l3)
+        # same-number drop-in parity: our levels=1 == cv2 levels=1 layers
+        assert err_l1 < 0.35, err_l1
+        assert err_l0 > 3 * err_l3, (err_l0, err_l3)
         # and accuracy vs the analytic GT matches the oracle's own
         gt_err = np.linalg.norm(l3 - flow, axis=-1)[INNER].mean()
         cv2_err = np.linalg.norm(ref - flow, axis=-1)[INNER].mean()

@@ -73,7 +73,7 @@ def bench_scene_metrics(h: int, w: int, seeds, iters: int = 0,
             out["raft_drone_epe"].append(epe(fl, drone))
         fb = farneback_flow(jnp.asarray(prev8, jnp.float32),
                             jnp.asarray(curr8, jnp.float32),
-                            FarnebackParams(warp="auto", fast=True, levels=3,
+                            FarnebackParams(warp="auto", fast=True, levels=2,
                                             pyr_scale=0.5))
         out["fb_epe"].append(epe(fb, interior))
         lk = lk_dense_flow(jnp.asarray(prev8, jnp.float32),
@@ -184,7 +184,7 @@ def mock_sim_metrics(h: int = 96, w: int = 128, iters: int = 0,
                 out["raft_drone_epe"].append(epe(fl, drone))
         fb = farneback_flow(jnp.asarray(f1[..., 0], jnp.float32),
                             jnp.asarray(f2[..., 0], jnp.float32),
-                            FarnebackParams(warp="auto", fast=True, levels=3,
+                            FarnebackParams(warp="auto", fast=True, levels=2,
                                             pyr_scale=0.5))
         out["fb_epe"].append(epe(fb, interior))
         if sky_p is not None:

@@ -33,7 +33,7 @@ def check(h: int, w: int, shift=(2, 3)) -> float:
     prev = tex[pad:pad + h, pad:pad + w]
     curr = tex[pad - shift[1]:pad + h - shift[1], pad - shift[0]:pad + w - shift[0]]
 
-    params = FarnebackParams(warp="pallas", levels=3, pyr_scale=0.5,
+    params = FarnebackParams(warp="pallas", levels=2, pyr_scale=0.5,
                              iterations=6, max_shift=8, band_rows=24)
     t0 = time.time()
     flow = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr), params))

@@ -88,7 +88,9 @@ def run_all(logger: logging.Logger, args: argparse.Namespace) -> None:
             debug=True, validate=True, headless=args.headless,
             flow_source=args.flow_source, batch_size=args.batch_size,
             devices=args.devices,
-            engine=getattr(args, "engine", "batch"))
+            engine=getattr(args, "engine", "batch"),
+            foe_samples=getattr(args, "foe_samples", 1000),
+            use_sparse_of=getattr(args, "use_sparse_of", False))
         execute(config)
 
 

@@ -528,18 +528,21 @@ def main(argv=None) -> None:
 
     wanted = ["raft", "sky", "yolo"] if args.model == "all" else [args.model]
 
+    # --hw/--lr overrides apply to EVERY model branch (they were silently
+    # dropped for sky/yolo before)
+    kw = {}
+    if args.hw:
+        h, w = args.hw.lower().split("x")
+        kw["hw"] = (int(h), int(w))
+    if args.lr:
+        kw["peak_lr"] = args.lr
+
     if "raft" in wanted:
         if args.eval_only:
             params = pretrained.load_raft_params()
             assert params is not None, "no RAFT checkpoint"
         else:
             init = pretrained.load_raft_params() if args.resume else None
-            kw = {}
-            if args.hw:
-                h, w = args.hw.lower().split("x")
-                kw["hw"] = (int(h), int(w))
-            if args.lr:
-                kw["peak_lr"] = args.lr
             params, _ = train_raft(steps=args.steps or 4000, batch=args.batch,
                                    chunk=args.chunk, seed=args.seed,
                                    init_params=init,
@@ -561,7 +564,7 @@ def main(argv=None) -> None:
             assert params is not None, "no sky checkpoint"
         else:
             params, _ = train_sky(steps=args.steps or 1500, batch=args.batch,
-                                  chunk=args.chunk, seed=args.seed)
+                                  chunk=args.chunk, seed=args.seed, **kw)
             checkpoint.save_msgpack(pretrained.checkpoint_path("sky"), params)
         tpr, fpr, ptpr, pfpr = eval_sky(params)
         logger.info(f"[sky] net TPR {tpr:.4f} FPR {fpr:.4f} | "
@@ -575,7 +578,8 @@ def main(argv=None) -> None:
             assert params is not None, "no yolo checkpoint"
         else:
             params, _ = train_yolo(steps=args.steps or 2500, batch=args.batch,
-                                   chunk=args.chunk, seed=args.seed, mode=mode)
+                                   chunk=args.chunk, seed=args.seed, mode=mode,
+                                   **kw)
             checkpoint.save_msgpack(ckpt, params)
         iou, rate = eval_yolo(params, mode=mode)
         logger.info(f"[yolo:{mode}] held-out mean IoU {iou:.3f}, "

@@ -20,11 +20,16 @@ TAG_FLOAT = 202021.25
 def read_flow(filename: str) -> np.ndarray:
     """Read a ``.flo`` file into an ``(h, w, 2)`` float32 array."""
     with open(filename, "rb") as f:
-        magic = np.fromfile(f, np.float32, count=1)[0]
+        head = np.fromfile(f, np.float32, count=1)
+        if head.size == 0:  # empty/<4-byte file: same error path, not IndexError
+            raise ValueError(f"Empty/truncated .flo file: {filename}")
+        magic = head[0]
         if magic != TAG_FLOAT:
             raise ValueError(f"Flow number {magic!r} incorrect. Invalid .flo file: {filename}")
-        w = int(np.fromfile(f, np.int32, count=1)[0])
-        h = int(np.fromfile(f, np.int32, count=1)[0])
+        dims = np.fromfile(f, np.int32, count=2)
+        if dims.size != 2:
+            raise ValueError(f"Empty/truncated .flo file: {filename}")
+        w, h = int(dims[0]), int(dims[1])
         data = np.fromfile(f, np.float32, count=2 * w * h)
     if data.size != 2 * w * h:
         # The reference used np.resize which zero-pads / wraps; be strict here

@@ -446,6 +446,10 @@ def _farneback_hwb(prev: jax.Array, curr: jax.Array,
         raise ValueError(
             f"warp={params.warp!r} is not valid, has to be 'gather', "
             f"'separable', 'pallas' or 'auto'")
+    if params.precision not in _PRECISION:
+        raise ValueError(
+            f"precision={params.precision!r} is not valid, has to be one of "
+            f"{sorted(_PRECISION)}")
     prev = prev.astype(jnp.float32)
     curr = curr.astype(jnp.float32)
     h, w, b = prev.shape

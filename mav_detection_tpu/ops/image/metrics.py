@@ -47,6 +47,25 @@ def _tpr_fpr(gt_img: jax.Array, img: jax.Array) -> Tuple[jax.Array, jax.Array]:
     return tpr, fpr
 
 
+def tpr_fpr_counts(gt_img: jax.Array, img: jax.Array,
+                   frame_weight: jax.Array) -> jax.Array:
+    """Per-batch [tp, fp, pos, neg] counts (float32, shape (4,)) with a
+    per-frame weight — the numerator/denominator tier of the reference's
+    TPR/FPR (im_helpers.py:244-252), shared by the on-mesh psum reduction
+    so single-device and sharded metrics cannot drift apart.
+
+    ``gt_img``/``img``: (n, h, w); ``frame_weight``: (n,) — 0 masks out a
+    frame (e.g. padding added to reach a device multiple)."""
+    gt = gt_img.astype(jnp.int32)
+    est = img.astype(jnp.int32)
+    w = frame_weight.astype(jnp.float32)[:, None, None]
+    tp = jnp.sum(((gt * est) > 127) * w)
+    fp = jnp.sum((((255 - gt) * est) > 127) * w)
+    pos = jnp.sum((gt > 127) * w)
+    neg = jnp.sum(((255 - gt) > 127) * w)
+    return jnp.stack([tp, fp, pos, neg])
+
+
 calculate_tpr_fpr = jax.jit(_tpr_fpr)
 # (frames, h, w) -> per-frame rates in one compiled program.
 calculate_tpr_fpr_batch = jax.jit(jax.vmap(_tpr_fpr))

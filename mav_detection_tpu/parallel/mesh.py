@@ -64,28 +64,33 @@ def detect_frames_sharded(mesh: Mesh, flow, gt_flow, omega, dt, seg, sky,
 
 @functools.partial(jax.jit, static_argnames=("mesh",))
 def aggregate_metrics_psum(mesh: Mesh, segmentation: jax.Array,
-                           estimate: jax.Array) -> Tuple[jax.Array, jax.Array]:
+                           estimate: jax.Array,
+                           valid: Optional[jax.Array] = None,
+                           ) -> Tuple[jax.Array, jax.Array]:
     """Global pixel TPR/FPR over a sharded frame batch via on-mesh psum.
 
     Demonstrates the collective pattern: each shard reduces its local
     numerators/denominators, one psum over ``data`` produces globals, every
-    device returns the same scalars.
+    device returns the same scalars. ``valid`` (n,) masks out frames padded
+    to reach a device multiple — an all-zero padded segmentation would
+    otherwise count its full pixel area as negatives and bias the global
+    FPR low. The per-pixel count definitions are the reference's
+    (im_helpers.py:244-252), shared with ``ops.image.metrics.tpr_fpr_counts``.
     """
+    from mav_detection_tpu.ops.image.metrics import tpr_fpr_counts
 
-    def shard_fn(seg_local, est_local):
-        gt = seg_local.astype(jnp.int32)
-        est = est_local.astype(jnp.int32)
-        tp = jnp.sum((gt * est) > 127)
-        fp = jnp.sum(((255 - gt) * est) > 127)
-        pos = jnp.sum(gt > 127)
-        neg = jnp.sum((255 - gt) > 127)
-        stats = jnp.stack([tp, fp, pos, neg]).astype(jnp.float32)
+    if valid is None:
+        valid = jnp.ones((segmentation.shape[0],), bool)
+
+    def shard_fn(seg_local, est_local, val_local):
+        stats = tpr_fpr_counts(seg_local, est_local,
+                               val_local.astype(jnp.float32))
         total = jax.lax.psum(stats, axis_name="data")
         return total[0] / total[2], total[1] / total[3]
 
     fn = jax.shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P("data"), P("data")),
+        in_specs=(P("data"), P("data"), P("data")),
         out_specs=(P(), P()),
     )
-    return fn(segmentation, estimate)
+    return fn(segmentation, estimate, valid)

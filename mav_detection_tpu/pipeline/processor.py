@@ -670,9 +670,13 @@ class Processor:
                         [out.estimate_fixed,
                          jnp.zeros((pad,) + out.estimate_fixed.shape[1:],
                                    out.estimate_fixed.dtype)]) if pad else out.estimate_fixed
+                    # padded frames are masked out of the reduction: an
+                    # all-zero padded segmentation would count its full
+                    # pixel area as negatives and bias the global FPR low
+                    val = jnp.arange(nb + pad) < nb
                     g_tpr, g_fpr = aggregate_metrics_psum(
                         self.mesh, jnp.asarray(seg_p),
-                        (255 * est.astype(jnp.int32)).astype(jnp.uint8))
+                        (255 * est.astype(jnp.int32)).astype(jnp.uint8), val)
                     self._psum_metrics.append((float(g_tpr), float(g_fpr), nb))
 
                 # host materialization of the whole batch at once

@@ -50,7 +50,10 @@ int read_flo_file(const char* path, float* out, int expect_w, int expect_h) {
   size_t got = std::fread(out, sizeof(float), count, f);
   std::fclose(f);
   if (got < count) {
+    // truncated payload: zero the tail for defined contents, but REPORT the
+    // failure — a silently zero-filled flow frame corrupts detection
     std::memset(out + got, 0, (count - got) * sizeof(float));
+    return -4;
   }
   return 0;
 }
@@ -124,17 +127,23 @@ struct Prefetcher {
   size_t stride = 0;
   int depth = 0;
 
+  struct Item {
+    int idx;
+    int err;  // read_flo_file return code (0 = ok)
+    std::vector<float> buf;
+  };
+
   std::mutex mu;
   std::condition_variable cv_space, cv_data;
   // slots filled in order; consumer takes front
-  std::queue<std::pair<int, std::vector<float>>> ready;
+  std::queue<Item> ready;
   int produced = 0;  // next index a producer will claim
   int consumed = 0;  // next index the consumer expects
   std::atomic<bool> stop{false};
   std::vector<std::thread> workers;
 
   // strict in-order delivery: workers park out-of-order results here
-  std::vector<std::pair<int, std::vector<float>>> parked;
+  std::vector<Item> parked;
 };
 
 void* prefetcher_create(const char** paths, int n, int w, int h, int depth,
@@ -168,10 +177,11 @@ void* prefetcher_create(const char** paths, int n, int w, int h, int depth,
         idx = p->produced++;
       }
       std::vector<float> buf(p->stride);
-      read_flo_file(p->paths[idx].c_str(), buf.data(), p->width, p->height);
+      int err =
+          read_flo_file(p->paths[idx].c_str(), buf.data(), p->width, p->height);
       std::unique_lock<std::mutex> lk(p->mu);
       if (p->stop.load()) return;
-      p->parked.emplace_back(idx, std::move(buf));
+      p->parked.push_back(Prefetcher::Item{idx, err, std::move(buf)});
       // drain parked entries that are next in order
       bool moved = true;
       while (moved) {
@@ -179,8 +189,8 @@ void* prefetcher_create(const char** paths, int n, int w, int h, int depth,
         for (auto it = p->parked.begin(); it != p->parked.end(); ++it) {
           int front_next =
               p->consumed + static_cast<int>(p->ready.size());
-          if (it->first == front_next) {
-            p->ready.emplace(it->first, std::move(it->second));
+          if (it->idx == front_next) {
+            p->ready.push(std::move(*it));
             p->parked.erase(it);
             moved = true;
             break;
@@ -196,7 +206,10 @@ void* prefetcher_create(const char** paths, int n, int w, int h, int depth,
 }
 
 // Blocks until the next in-order flow field is ready; copies into out.
-// Returns the index delivered, or -1 when the sequence is exhausted.
+// Returns the index delivered, -1 when the sequence is exhausted, or
+// (-2 - index) when reading that file FAILED (missing/corrupt/mismatched
+// dimensions/truncated) — the buffer is zero-backed in that case and the
+// caller must raise rather than treat it as flow.
 int prefetcher_next(void* handle, float* out) {
   auto* p = static_cast<Prefetcher*>(handle);
   if (p->consumed >= static_cast<int>(p->paths.size())) return -1;
@@ -205,11 +218,11 @@ int prefetcher_next(void* handle, float* out) {
   if (p->ready.empty()) return -1;
   auto item = std::move(p->ready.front());
   p->ready.pop();
-  p->consumed = item.first + 1;
+  p->consumed = item.idx + 1;
   lk.unlock();
   p->cv_space.notify_all();
-  std::memcpy(out, item.second.data(), p->stride * sizeof(float));
-  return item.first;
+  std::memcpy(out, item.buf.data(), p->stride * sizeof(float));
+  return item.err == 0 ? item.idx : -2 - item.idx;
 }
 
 // Outstanding (claimed-but-unconsumed) indices; bounded by `depth`.

@@ -125,8 +125,13 @@ class FloPrefetcher:
             raise StopIteration
         out = np.empty((self._h, self._w, 2), np.float32)
         idx = self._lib.prefetcher_next(self._handle, out.reshape(-1))
-        if idx < 0:
+        if idx == -1:
             raise StopIteration
+        if idx < -1:  # (-2 - index): that file failed to read
+            bad = -2 - idx
+            raise IOError(
+                f"prefetcher: failed to read .flo file #{bad} "
+                f"(missing/corrupt/truncated/mismatched dimensions)")
         self._delivered += 1
         return out
 

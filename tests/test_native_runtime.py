@@ -91,3 +91,36 @@ class TestPrefetcher:
             next(pf)
         assert pf.inflight() == 0
         pf.close()
+
+    def test_bad_middle_file_raises_not_zeros(self, flo_dir, tmp_path):
+        """A corrupt/truncated file must surface as IOError when its slot is
+        delivered — never as a silent all-zero flow frame."""
+        import shutil
+
+        d = tmp_path / "seq"
+        d.mkdir()
+        paths = []
+        for i, src in enumerate(flo_dir[:5]):
+            p = str(d / f"{i:06d}.flo")
+            shutil.copy(src, p)
+            paths.append(p)
+        # truncate the middle file's payload
+        with open(paths[2], "r+b") as f:
+            f.truncate(12 + 40 * 60 * 2 * 2)  # header + half the floats
+        pf = native.FloPrefetcher(paths, depth=2, n_threads=2)
+        a = next(pf)
+        b = next(pf)
+        assert np.isfinite(a).all() and np.isfinite(b).all()
+        with pytest.raises(IOError):
+            next(pf)
+        pf.close()
+
+    def test_truncated_batch_read_raises(self, flo_dir, tmp_path):
+        import shutil
+
+        bad = str(tmp_path / "trunc.flo")
+        shutil.copy(flo_dir[0], bad)
+        with open(bad, "r+b") as f:
+            f.truncate(12 + 100)
+        with pytest.raises(IOError):
+            native.read_flow_batch([flo_dir[0], bad])

@@ -189,6 +189,26 @@ def _sep_correlate_nd(img: jax.Array, kern_v: Tuple[float, ...],
     return flat.reshape((h, w) + trail)
 
 
+def _sep_correlate_cf(img: jax.Array, kern_v: Tuple[float, ...],
+                      kern_h: Tuple[float, ...], mode: str,
+                      precision: str) -> jax.Array:
+    """Separable 2-D correlation on a channel-first ``(b, h, w)`` batch.
+
+    The vertical contraction is an einsum over ``h`` (XLA folds ``b`` into
+    the matmul free dimension); the horizontal pass contracts the trailing
+    axis directly, so no layout change is ever materialized. This is the
+    batched-Pallas preproc layout: the (h, w, b) path's output transposes
+    cost ~0.13 ms/frame at batch 8 (tools/pipeline_stage_probe.py)."""
+    prec = _PRECISION[precision]
+    _, h, w = img.shape
+    Bv = _band_matrix(h, kern_v, mode)
+    Bh = _band_matrix(w, kern_h, mode)
+    y = jnp.einsum("ih,bhw->biw", Bv, img,
+                   preferred_element_type=jnp.float32, precision=prec)
+    return jnp.einsum("bhw,wk->bhk", y, Bh.T,
+                      preferred_element_type=jnp.float32, precision=prec)
+
+
 def _correlate1d_h(img_hwb: jax.Array, kernels: Sequence[Tuple[float, ...]],
                    mode: str, precision: str) -> List[jax.Array]:
     """Horizontal 1-D correlations of an (h, w, b) image with several kernels
@@ -275,6 +295,131 @@ def _poly_exp(img: jax.Array, n: int, sigma: float,
     r3 = b1 * ig03 + b4 * ig33
     r4 = b6 * ig55
     return jnp.stack([r0, r1, r2, r3, r4], axis=-1)
+
+
+def _poly_exp_cf(img: jax.Array, n: int, sigma: float,
+                 precision: str = "highest") -> jax.Array:
+    """Channel-first ``_poly_exp``: (b, h, w) -> (b, 5, h, w).
+
+    Same moment math and channel layout as ``_poly_exp``; the layout differs
+    so the Pallas iterate kernel's (b, 5, h, w) input needs no transpose.
+    The vertical pass is one einsum against the stacked (3h, h) band matrix;
+    the horizontal pass stacks kernels into one (w, Kw) matrix contracted
+    over the trailing axis; channels assemble with a contiguous stack on
+    axis 1 (cheap concat, not a transpose)."""
+    g_np, xg_np, xxg_np, ig11, ig03, ig33, ig55 = _poly_exp_moments(n, sigma)
+    g = tuple(float(v) for v in g_np)
+    xg = tuple(float(v) for v in xg_np)
+    xxg = tuple(float(v) for v in xxg_np)
+
+    _, h, w = img.shape
+    prec = _PRECISION[precision]
+    Bv = jnp.concatenate(
+        [_band_matrix(h, g, "edge"), _band_matrix(h, xg, "edge"),
+         _band_matrix(h, xxg, "edge")], axis=0)
+    t = jnp.einsum("ih,bhw->biw", Bv, img,
+                   preferred_element_type=jnp.float32, precision=prec)
+    t0, t1, t2 = t[:, :h], t[:, h:2 * h], t[:, 2 * h:]
+
+    def hpass(x: jax.Array, kernels: Sequence[Tuple[float, ...]]) -> List[jax.Array]:
+        Bh = jnp.concatenate([_band_matrix(w, k, "edge").T for k in kernels],
+                             axis=1)
+        y = jnp.einsum("bhw,wk->bhk", x, Bh,
+                       preferred_element_type=jnp.float32, precision=prec)
+        return [y[..., i * w:(i + 1) * w] for i in range(len(kernels))]
+
+    b1, b2, b4 = hpass(t0, [g, xg, xxg])
+    b3, b6 = hpass(t1, [g, xg])
+    (b5,) = hpass(t2, [g])
+
+    return jnp.stack([b3 * ig11, b2 * ig11, b1 * ig03 + b5 * ig33,
+                      b1 * ig03 + b4 * ig33, b6 * ig55], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_matrix_np(src: int, dst: int) -> np.ndarray:
+    """(dst, src) dense matrix M with M @ x == jax.image.resize(x, dst,
+    "linear") along one axis: triangle kernel on half-pixel sample points
+    with antialiasing on downscale, edge weights renormalized — numpy
+    re-statement of jax's ``compute_weight_mat`` (pure numpy so the fused
+    pyramid matrices can build inside a trace; equality with the op is
+    pinned by ``test_resize_matrix_matches_jax_image_resize``)."""
+    if src == dst:
+        return np.eye(src, dtype=np.float64)
+    inv_scale = src / dst
+    kernel_scale = max(inv_scale, 1.0)  # antialias widens on downscale
+    sample_f = (np.arange(dst, dtype=np.float64) + 0.5) * inv_scale - 0.5
+    x = np.abs(sample_f[np.newaxis, :]
+               - np.arange(src, dtype=np.float64)[:, np.newaxis]) / kernel_scale
+    weights = np.maximum(0.0, 1.0 - x)  # triangle
+    total = weights.sum(axis=0, keepdims=True)
+    weights = np.where(np.abs(total) > 1000.0 * np.finfo(np.float32).eps,
+                       weights / np.where(total != 0, total, 1), 0.0)
+    valid = (sample_f >= -0.5) & (sample_f <= src - 0.5)
+    return np.where(valid[np.newaxis, :], weights, 0.0).T
+
+
+@functools.lru_cache(maxsize=None)
+def _poly_pyr_mats_np(h: int, w: int, lh: int, lw: int,
+                      smooth: Tuple[float, ...], n: int,
+                      sigma: float) -> Tuple[np.ndarray, np.ndarray]:
+    """Fused per-layer preproc matrices: Gaussian smooth -> linear resize ->
+    polynomial-expansion moment correlations, composed in f64.
+
+    Returns (V, Hm): V (3*lh, h) applies blur+resize+all three vertical
+    moment kernels in one matmul; Hm (w, 3*lw) = [Wg | Wxg | Wxxg] applies
+    blur+resize+one horizontal moment kernel per lw-column block (slice
+    [:, :k*lw] for the moments a given vertical slice needs)."""
+    g_np, xg_np, xxg_np, *_ = _poly_exp_moments(n, sigma)
+    g = tuple(float(v) for v in g_np)
+    xg = tuple(float(v) for v in xg_np)
+    xxg = tuple(float(v) for v in xxg_np)
+
+    pre_v = _resize_matrix_np(h, lh) @ _band_matrix_np(h, smooth, "reflect")
+    V = np.concatenate(
+        [_band_matrix_np(lh, g, "edge"), _band_matrix_np(lh, xg, "edge"),
+         _band_matrix_np(lh, xxg, "edge")], axis=0) @ pre_v
+
+    pre_h = _band_matrix_np(w, smooth, "reflect").T @ _resize_matrix_np(w, lw).T
+    Hm = np.concatenate(
+        [pre_h @ _band_matrix_np(lw, k, "edge").T for k in (g, xg, xxg)],
+        axis=1)
+    return V.astype(np.float32), Hm.astype(np.float32)
+
+
+def _poly_exp_pyr_cf(img: jax.Array, smooth: Tuple[float, ...], lh: int,
+                     lw: int, n: int, sigma: float,
+                     precision: str = "highest") -> jax.Array:
+    """Fused smooth+resize+poly_exp for one pyramid layer, channel-first:
+    (b, h, w) full-resolution frames -> (b, 5, lh, lw) coefficients.
+
+    The per-layer Gaussian smooth, the linear resize, and the moment
+    correlations of ``_poly_exp_cf`` are all linear per axis, so they
+    compose into ONE (3*lh, h) left matrix and ONE (w, 3*lw) right matrix —
+    two matmul passes per layer with no full-resolution intermediates
+    (the unfused chain's blur/resize materializations were the residual
+    batching cost, tools/pipeline_stage_probe.py)."""
+    _, _, _, ig11, ig03, ig33, ig55 = _poly_exp_moments(n, sigma)
+    _, h, w = img.shape
+    prec = _PRECISION[precision]
+    V_np, Hm_np = _poly_pyr_mats_np(h, w, lh, lw, smooth, n, sigma)
+    V = jnp.asarray(V_np)
+    Hm = jnp.asarray(Hm_np)
+
+    t = jnp.einsum("ih,bhw->biw", V, img,
+                   preferred_element_type=jnp.float32, precision=prec)
+    t0, t1, t2 = t[:, :lh], t[:, lh:2 * lh], t[:, 2 * lh:]
+    y0 = jnp.einsum("bhw,wk->bhk", t0, Hm,
+                    preferred_element_type=jnp.float32, precision=prec)
+    y1 = jnp.einsum("bhw,wk->bhk", t1, Hm[:, :2 * lw],
+                    preferred_element_type=jnp.float32, precision=prec)
+    b5 = jnp.einsum("bhw,wk->bhk", t2, Hm[:, :lw],
+                    preferred_element_type=jnp.float32, precision=prec)
+    b1, b2, b4 = y0[..., :lw], y0[..., lw:2 * lw], y0[..., 2 * lw:]
+    b3, b6 = y1[..., :lw], y1[..., lw:]
+
+    return jnp.stack([b3 * ig11, b2 * ig11, b1 * ig03 + b5 * ig33,
+                      b1 * ig03 + b4 * ig33, b6 * ig55], axis=1)
 
 
 _BORDER_SCALES = (0.14, 0.14, 0.4472, 0.4472, 0.4472)
@@ -433,7 +578,29 @@ def _resize_linear(img: jax.Array, shape: Tuple[int, int]) -> jax.Array:
     return jax.image.resize(img, shape + img.shape[2:], method="linear")
 
 
+def _resize_linear_cf(img: jax.Array, shape: Tuple[int, int]) -> jax.Array:
+    """Linear resize of the TRAILING two (spatial) dims: (..., h, w)."""
+    return jax.image.resize(img, img.shape[:-2] + shape, method="linear")
+
+
 # --------------------------------------------------------------- top level
+def _pyramid_scales(h: int, w: int, params: "FarnebackParams") -> List[float]:
+    # cv2 semantics (farneback.cpp iterates k = levels..0): ``levels`` is the
+    # number of EXTRA coarse layers on top of the original image, so N+1
+    # layers total. Verified empirically: cv2 levels=0 diverges on a 5 px
+    # sharp-texture scene where levels=1 converges — the documented
+    # "levels=1 means no extra layers" is wrong about cv2's own code, and a
+    # same-number drop-in must reproduce cv2's behavior.
+    # Cap so coarse layers keep enough pixels for the poly window.
+    scales = [1.0]
+    for k_level in range(1, params.levels + 1):
+        scale = params.pyr_scale ** k_level
+        if min(h, w) * scale < 2 * params.poly_n + 1:
+            break
+        scales.append(scale)
+    return scales
+
+
 def _farneback_hwb(prev: jax.Array, curr: jax.Array,
                    params: FarnebackParams) -> jax.Array:
     """Core solver over channel-last batches: (h, w, b) x2 -> (h, w, b, 2).
@@ -454,19 +621,7 @@ def _farneback_hwb(prev: jax.Array, curr: jax.Array,
     curr = curr.astype(jnp.float32)
     h, w, b = prev.shape
 
-    # cv2 semantics (farneback.cpp iterates k = levels..0): ``levels`` is the
-    # number of EXTRA coarse layers on top of the original image, so N+1
-    # layers total. Verified empirically: cv2 levels=0 diverges on a 5 px
-    # sharp-texture scene where levels=1 converges — the documented
-    # "levels=1 means no extra layers" is wrong about cv2's own code, and a
-    # same-number drop-in must reproduce cv2's behavior.
-    # Cap so coarse layers keep enough pixels for the poly window.
-    scales = [1.0]
-    for k_level in range(1, params.levels + 1):
-        scale = params.pyr_scale ** k_level
-        if min(h, w) * scale < 2 * params.poly_n + 1:
-            break
-        scales.append(scale)
+    scales = _pyramid_scales(h, w, params)
 
     flow = None
     for k_level in reversed(range(len(scales))):
@@ -522,6 +677,55 @@ def _farneback_hwb(prev: jax.Array, curr: jax.Array,
     return flow
 
 
+def _farneback_cf(prev: jax.Array, curr: jax.Array,
+                  params: FarnebackParams) -> jax.Array:
+    """Channel-first batched solver for the Pallas warp: (b, h, w) x2 ->
+    (b, h, w, 2).
+
+    Same layer loop as ``_farneback_hwb`` but every array stays in the
+    Pallas kernel's native (b, [c,] h, w) layout — no (h, w, b, 5) ->
+    (b, 5, h, w) transposes. At batch 1 XLA folds the hwb path's transposes
+    into matmul output layouts so hwb wins; at batch >= 2 it cannot, and the
+    transposes became the entire end-to-end batching deficit (measured:
+    tools/pipeline_stage_probe.py — preproc residual 0.31 -> 0.57 ms/frame
+    from b=1 to b=8 while the iterate kernel stayed batch-neutral)."""
+    from mav_detection_tpu.ops.flow.farneback_pallas import (
+        farneback_iterate_pallas)
+
+    prev = prev.astype(jnp.float32)
+    curr = curr.astype(jnp.float32)
+    _, h, w = prev.shape
+    interpret = jax.default_backend() == "cpu"
+
+    flow = None
+    scales = _pyramid_scales(h, w, params)
+    for k_level in reversed(range(len(scales))):
+        scale = scales[k_level]
+        sigma = (1.0 / scale - 1.0) * 0.5
+        smooth_sz = max(int(round(sigma * 5)) | 1, 3)
+        lh, lw = int(round(h * scale)), int(round(w * scale))
+
+        if flow is None:
+            flow = jnp.zeros((prev.shape[0], 2, lh, lw), jnp.float32)
+        else:
+            flow = _resize_linear_cf(flow, (lh, lw)) * (1.0 / params.pyr_scale)
+
+        smooth = _gaussian_kernel(smooth_sz, sigma)
+        R0 = _poly_exp_pyr_cf(prev, smooth, lh, lw, params.poly_n,
+                              params.poly_sigma, params.precision)
+        R1 = _poly_exp_pyr_cf(curr, smooth, lh, lw, params.poly_n,
+                              params.poly_sigma, params.precision)
+        border = _border_scale_map(lh, lw)
+
+        flow = farneback_iterate_pallas(
+            R0, R1, flow, border, iterations=params.iterations,
+            winsize=params.winsize, max_shift=params.max_shift,
+            band_rows=params.band_rows, halo=params.pallas_halo,
+            interpret=interpret)
+
+    return jnp.transpose(flow, (0, 2, 3, 1))
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
 def farneback_flow(prev: jax.Array, curr: jax.Array,
                    params: FarnebackParams = FarnebackParams()) -> jax.Array:
@@ -536,7 +740,11 @@ def farneback_flow_batch(prev: jax.Array, curr: jax.Array,
 
     The batch folds into the matmul free dimension (channel-last internal
     layout), NOT a vmap — measured 1.7x faster at batch=8 than the batched
-    dot_general tiling vmap produces (PERF.md "Batching")."""
+    dot_general tiling vmap produces (PERF.md "Batching"). The Pallas warp
+    at batch >= 2 instead runs the channel-first pipeline (``_farneback_cf``)
+    whose preproc needs no layout transposes at all."""
+    if params.warp == "pallas" and prev.shape[0] > 1:
+        return _farneback_cf(prev, curr, params)
     flow = _farneback_hwb(prev.transpose(1, 2, 0), curr.transpose(1, 2, 0),
                           params)
     return flow.transpose(2, 0, 1, 3)

@@ -177,3 +177,40 @@ class TestFusedIteration:
         one = np.asarray(farneback_flow(
             jnp.asarray(prev8a), jnp.asarray(curr8a), params))
         np.testing.assert_allclose(batch[0], one, atol=1e-4)
+
+    def test_batched_channel_first_pyramid(self):
+        """The batched Pallas path runs the channel-first pipeline
+        (``_farneback_cf`` with fused smooth+resize+poly matrices); a
+        multi-layer pyramid must still match the per-frame (h, w, b)
+        solver, exercising the fused per-layer matrices AND the
+        channel-first inter-layer flow resize."""
+        prev8a, curr8a = _scene(96, 128, seed=11)
+        prev8b, curr8b = _scene(96, 128, seed=12, tx=-2.0, ty=3.0)
+        params = FarnebackParams(levels=2, pyr_scale=0.5, warp="pallas",
+                                 iterations=4, max_shift=8, band_rows=24)
+        batch = np.asarray(farneback_flow_batch(
+            jnp.asarray(np.stack([prev8a, prev8b])),
+            jnp.asarray(np.stack([curr8a, curr8b])), params))
+        for i, (p8, c8) in enumerate(((prev8a, curr8a), (prev8b, curr8b))):
+            one = np.asarray(farneback_flow(
+                jnp.asarray(p8), jnp.asarray(c8), params))
+            np.testing.assert_allclose(batch[i], one, atol=1e-4)
+
+
+class TestResizeMatrix:
+    def test_resize_matrix_matches_jax_image_resize(self):
+        """_resize_matrix_np re-states jax.image.resize's linear weights in
+        numpy (half-pixel sampling, antialias on downscale, edge
+        renormalization) so fused pyramid matrices can build inside a
+        trace; pin exact agreement with the op for up/down/odd sizes."""
+        from mav_detection_tpu.ops.flow.farneback import _resize_matrix_np
+
+        rng = np.random.default_rng(0)
+        for src, dst in [(480, 240), (752, 188), (97, 53), (53, 97),
+                         (100, 150), (64, 64)]:
+            x = rng.random((src, 16)).astype(np.float32)
+            ref = np.asarray(jax.image.resize(jnp.asarray(x), (dst, 16),
+                                              method="linear"))
+            got = (_resize_matrix_np(src, dst) @ x.astype(np.float64))
+            np.testing.assert_allclose(got.astype(np.float32), ref,
+                                       atol=1e-5)

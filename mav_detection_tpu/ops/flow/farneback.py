@@ -71,10 +71,11 @@ class FarnebackParams:
     band_rows: int = 8
     # Pallas halo layout: "stacked" pre-bands overlapping tiles in XLA every
     # iteration; "element" windows directly into edge-padded planes via
-    # pl.Element starts (no per-iteration restack) — bit-exact, pending
-    # hardware validation of Mosaic's Element lowering (PERF.md "Batch-8
-    # deficit").
-    pallas_halo: str = "stacked"
+    # pl.Element starts (no per-iteration restack) — bit-exact with stacked
+    # on real TPU (measured this round). "auto" picks element for batched
+    # (channel-first) runs where it wins ~8% end-to-end and stacked for
+    # batch-1 where XLA fuses the restack better (PERF.md "Element halo").
+    pallas_halo: str = "auto"
 
 
 # ----------------------------------------------------------------- helpers
@@ -652,7 +653,11 @@ def _farneback_hwb(prev: jax.Array, curr: jax.Array,
                 jnp.transpose(flow, (2, 3, 0, 1)), border,
                 iterations=params.iterations, winsize=params.winsize,
                 max_shift=params.max_shift, band_rows=params.band_rows,
-                halo=params.pallas_halo,
+                # auto: stacked — this path serves batch 1 (batches go
+                # through _farneback_cf), where XLA fuses the restack better
+                # than the per-iteration edge-pad (PERF.md "Element halo")
+                halo=("stacked" if params.pallas_halo == "auto"
+                      else params.pallas_halo),
                 interpret=jax.default_backend() == "cpu")
             flow = jnp.transpose(flow_cf, (2, 3, 0, 1))
             continue
@@ -720,7 +725,12 @@ def _farneback_cf(prev: jax.Array, curr: jax.Array,
         flow = farneback_iterate_pallas(
             R0, R1, flow, border, iterations=params.iterations,
             winsize=params.winsize, max_shift=params.max_shift,
-            band_rows=params.band_rows, halo=params.pallas_halo,
+            band_rows=params.band_rows,
+            # auto: element — at batch >= 2 the pl.Element windows beat the
+            # per-iteration restack ~8% end-to-end, bit-exact (PERF.md
+            # "Element halo"); wide frames fall back inside the kernel entry
+            halo=("element" if params.pallas_halo == "auto"
+                  else params.pallas_halo),
             interpret=interpret)
 
     return jnp.transpose(flow, (0, 2, 3, 1))

@@ -98,13 +98,17 @@ def _fused_iter_kernel_element(flow_ref, slab_ref, r0_ref, border_ref,
     of the flow (and no 2x+ stacked copies of the coefficient slabs) is
     materialized in HBM. Same math as the stacked kernel — parity-tested.
 
-    Flow block: (1, 2, th + 2m, tw + 2P); slab/r0: (1, 5, th + 2P, tw + 2P);
-    border: (th + 2P, tw + 2P). Row/col element starts are band*th / tile*tw
-    into arrays pre-padded by their halo."""
-    _iter_math(flow_ref[0, 0], flow_ref[0, 1],
-               [slab_ref[0, c] for c in range(5)],
-               [r0_ref[0, c] for c in range(5)],
-               border_ref[...], out_ref,
+    Flow block: (1, 2, rf, tw + 2P); slab/r0: (1, 5, rs, tw + 2P); border:
+    (rs, tw + 2P), where rf/rs are th + 2m / th + 2P rounded up to a
+    multiple of 8 (Mosaic's Element row-alignment rule) — the extra bottom
+    rows are dead and sliced off here (static slices). Row/col element
+    starts are band*th / tile*tw into arrays pre-padded by their halo."""
+    fr = th + 2 * m             # exact flow plane rows
+    sr = th + 2 * (S + 1 + m)   # exact slab/border plane rows
+    _iter_math(flow_ref[0, 0, :fr], flow_ref[0, 1, :fr],
+               [slab_ref[0, c, :sr] for c in range(5)],
+               [r0_ref[0, c, :sr] for c in range(5)],
+               border_ref[:sr], out_ref,
                th=th, tw=tw, H=H, W=W, S=S, m=m, inv_win2=inv_win2)
 
 
@@ -310,30 +314,51 @@ def farneback_iterate_pallas(
         (1, 2, th, tw), lambda i, j, t: (i, 0, j, t),
         memory_space=pltpu.VMEM)
 
+    if halo == "element" and nctiles > 1:
+        # Mosaic's block-shape rule lets unaligned block COLUMNS pass only
+        # when they equal the whole (padded) array width — i.e. one column
+        # tile. Wide frames keep the stacked layout.
+        halo = "stacked"
+
     if halo == "element":
         # window directly into edge-padded planar arrays with pl.Element
         # start indices: no per-iteration restack of the flow, no stacked
-        # copies of the (loop-invariant) coefficient slabs in HBM
-        def pad_plane(x, hr, hc):
+        # copies of the (loop-invariant) coefficient slabs in HBM.
+        # Mosaic requires block ROWS divisible by 8 (hardware-confirmed:
+        # unaligned Element rows are rejected at lowering), so blocks are
+        # padded up to 8-aligned row counts with dead bottom rows — the
+        # kernel wrapper slices refs back to exact sizes (all static).
+        rs = -(-(th + 2 * P) // 8) * 8   # slab/border block rows
+        rf = -(-(th + 2 * m) // 8) * 8   # flow block rows
+
+        def pad_plane(x, top, bottom, hc):
             pads = ([(0, 0)] * (x.ndim - 2)
-                    + [(hr, hr + Hp - H), (hc, hc + Wp - W)])
+                    + [(top, bottom + Hp - H), (hc, hc + Wp - W)])
             return jnp.pad(x, pads, mode="edge")
 
-        slab_e = pad_plane(R1cf, P, P)
-        r0_e = pad_plane(R0cf, P, P)
-        bor_e = pad_plane(border, P, P)
+        # bottom pad so the last band's (8-aligned) window stays in bounds:
+        # window rows [j*th .. j*th + rs) into an array whose content spans
+        # [0 .. top + Hp); max end = (nbands-1)*th + rs = Hp - th + rs.
+        slab_e = pad_plane(R1cf, P, rs - th - P, P)
+        r0_e = pad_plane(R0cf, P, rs - th - P, P)
+        bor_e = pad_plane(border, P, rs - th - P, P)
         kern_e = functools.partial(
             _fused_iter_kernel_element, th=th, tw=tw, H=H, W=W, S=S, m=m,
             inv_win2=1.0 / (winsize * winsize))
+        # Mosaic: a spec's dims must be ALL Element or none — leading dims
+        # wrap in Element(1)/Element(n) with element (not block) starts.
+        # Column start is the literal 0 (single tile — see the gate above):
+        # Mosaic must PROVE the lane tiling (128) divides the start index,
+        # which it cannot for a symbolic t*tw.
         bandspec_e = pl.BlockSpec(
-            (1, 5, _Element(th + 2 * P), _Element(tw + 2 * P)),
-            lambda i, j, t: (i, 0, j * th, t * tw), memory_space=pltpu.VMEM)
+            (_Element(1), _Element(5), _Element(rs), _Element(tw + 2 * P)),
+            lambda i, j, t: (i, 0, j * th, 0), memory_space=pltpu.VMEM)
         borspec_e = pl.BlockSpec(
-            (_Element(th + 2 * P), _Element(tw + 2 * P)),
-            lambda i, j, t: (j * th, t * tw), memory_space=pltpu.VMEM)
+            (_Element(rs), _Element(tw + 2 * P)),
+            lambda i, j, t: (j * th, 0), memory_space=pltpu.VMEM)
         flowspec_e = pl.BlockSpec(
-            (1, 2, _Element(th + 2 * m), _Element(tw + 2 * P)),
-            lambda i, j, t: (i, 0, j * th, t * tw), memory_space=pltpu.VMEM)
+            (_Element(1), _Element(2), _Element(rf), _Element(tw + 2 * P)),
+            lambda i, j, t: (i, 0, j * th, 0), memory_space=pltpu.VMEM)
         call_e = pl.pallas_call(
             kern_e,
             out_shape=jax.ShapeDtypeStruct((b, 2, Hp, Wp), jnp.float32),
@@ -344,7 +369,7 @@ def farneback_iterate_pallas(
         )
         flow = flow0
         for _ in range(iterations):
-            flow = call_e(pad_plane(flow, m, P), slab_e, r0_e,
+            flow = call_e(pad_plane(flow, m, rf - th - m, P), slab_e, r0_e,
                           bor_e)[:, :, :H, :W]
         return flow
 

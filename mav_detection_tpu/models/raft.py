@@ -370,9 +370,16 @@ class RAFT(nn.Module):
 
     @nn.compact
     def __call__(self, image1: jax.Array, image2: jax.Array,
-                 iters: int = 0) -> Tuple[jax.Array, jax.Array]:
+                 iters: int = 0,
+                 upsample_all: bool = True) -> Tuple[jax.Array, jax.Array]:
         """(h, w, 3) uint8/float image pair -> ((h, w, 2) flow,
-        (iters, h, w, 2) per-iteration upsampled predictions)."""
+        (iters, h, w, 2) per-iteration upsampled predictions).
+
+        ``upsample_all=False`` (inference) runs the learned convex upsample
+        only on the FINAL iteration — the per-iteration upsamples exist only
+        for the training sequence loss, and at 6 iterations they were ~25%
+        of inference time (measured on v5e, PERF.md "RAFT upsample") — and
+        returns the final prediction alone as a (1, h, w, 2) second output."""
         cfg = self.config
         iters = iters or cfg.iters
         x1 = image1.astype(jnp.float32) / 127.5 - 1.0
@@ -409,6 +416,9 @@ class RAFT(nn.Module):
         (_, flow), (flows8, masks) = scan(cfg, name="refine")(
             (hidden, flow), context, pyramid, vols)
 
+        if not upsample_all:
+            final = convex_upsample(flows8[-1], masks[-1])
+            return final, final[None]
         predictions = jax.vmap(convex_upsample)(flows8, masks)
         return predictions[-1], predictions
 
@@ -431,7 +441,8 @@ def create_raft(key: jax.Array = None, config: RAFTConfig = RAFTConfig(),
 
 @functools.partial(jax.jit, static_argnames=("iters", "config"))
 def _raft_apply(params, img1, img2, iters, config: RAFTConfig = RAFTConfig()):
-    flow, _ = RAFT(config).apply(params, img1, img2, iters)
+    flow, _ = RAFT(config).apply(params, img1, img2, iters,
+                                 upsample_all=False)
     return flow
 
 

@@ -44,6 +44,24 @@ class TestRAFT:
         assert flow.shape == (64, 96, 2)
         assert len(preds) == 2
 
+    def test_final_only_upsample_matches_full_path(self):
+        """The inference fast path (upsample_all=False: convex-upsample only
+        the last refinement iteration) must match the training path's final
+        prediction (tight tolerance — XLA fuses the two graphs differently,
+        so bit-equality is not guaranteed across backends)."""
+        model, params = create_raft(config=TINY, image_hw=(64, 96))
+        rng = np.random.default_rng(3)
+        img1 = jnp.asarray(rng.random((64, 96, 3)).astype(np.float32) * 255)
+        img2 = jnp.asarray(rng.random((64, 96, 3)).astype(np.float32) * 255)
+        flow_full, preds = jax.jit(
+            lambda p, a, b: RAFT(TINY).apply(p, a, b, 2))(params, img1, img2)
+        flow_fast, preds_fast = jax.jit(
+            lambda p, a, b: RAFT(TINY).apply(p, a, b, 2, upsample_all=False)
+        )(params, img1, img2)
+        np.testing.assert_allclose(np.asarray(flow_full),
+                                   np.asarray(flow_fast), atol=0.01)
+        assert preds_fast.shape == (1, 64, 96, 2)
+
     def test_zero_motion_small_flow(self):
         """Untrained but with identical inputs the correlation argmax is at
         zero displacement; flow magnitude must stay modest."""

@@ -377,9 +377,10 @@ class RAFT(nn.Module):
 
         ``upsample_all=False`` (inference) runs the learned convex upsample
         only on the FINAL iteration — the per-iteration upsamples exist only
-        for the training sequence loss, and at 6 iterations they were ~25%
-        of inference time (measured on v5e, PERF.md "RAFT upsample") — and
-        returns the final prediction alone as a (1, h, w, 2) second output."""
+        for the training sequence loss, and at 6 iterations they were ~48%
+        of inference time (15.9 -> 8.3 ms/frame at 752x480 on v5e, PERF.md
+        "RAFT final-only upsample") — and returns the final prediction alone
+        as a (1, h, w, 2) second output."""
         cfg = self.config
         iters = iters or cfg.iters
         x1 = image1.astype(jnp.float32) / 127.5 - 1.0

@@ -201,7 +201,16 @@ def build_local_corr_volumes(f1: jax.Array, f2_pyramid: Sequence[jax.Array],
     reads per iteration at 752x480. The dot product commutes with bilinear
     interpolation, so correlating ONCE against every integer shift in range
     moves all feature traffic to a per-frame precompute; each GRU iteration
-    then only interpolates scalars out of these small volumes."""
+    then only interpolates scalars out of these small volumes.
+
+    MXU formulation (PERF.md "RAFT volume matmul"): D[y, x, u, v] is a
+    channel dot product between full-res rows of f1 and pooled rows of f2,
+    so for each row shift u ONE batched matmul (ky, s*kx*s, C) @ (ky, C, TWp)
+    produces every column product at once; the needed band x//s + v is then
+    peeled out with a skewed reshape (pad the flat row to stride TWp+1 so
+    consecutive (X, v) diagonals become contiguous) — one unit-stride slice,
+    no gathers. ~7x faster than the elementwise multiply-reduce planes this
+    replaces (VPU-bound at 850 shifted (h, w, C) passes)."""
     h, w, c = f1.shape
     f1f = f1.astype(jnp.float32)
     scale_dot = 1.0 / jnp.sqrt(jnp.float32(c))
@@ -217,16 +226,30 @@ def build_local_corr_volumes(f1: jax.Array, f2_pyramid: Sequence[jax.Array],
         # their TRUE base index so clip(y//s + u) matches the OTF lookup —
         # the edge padding of f2p supplies the clamped values
         ky, kx = -(-h // s), -(-w // s)
-        planes = []
-        for u in range(-R, R + 2):
-            for v in range(-R, R + 2):
-                sh = jax.lax.slice(f2p, (pad + u, pad + v, 0),
-                                   (pad + u + ky, pad + v + kx, c))
-                if s > 1:
-                    sh = jnp.repeat(jnp.repeat(sh, s, axis=0), s, axis=1)
-                planes.append(jnp.sum(f1f * sh[:h, :w], axis=-1) * scale_dot)
         U = 2 * R + 2
-        vols.append(jnp.stack(planes, axis=-1).reshape(h, w, U, U))
+        TWp = TW + 2 * pad
+        # full-res pixels grouped by pooled row: (ky, s*kx*s, c), zero-padded
+        # ragged tails crop away after extraction
+        f1g = jnp.pad(f1f, ((0, ky * s - h), (0, kx * s - w), (0, 0)))
+        f1g = f1g.reshape(ky, s, kx * s, c).reshape(ky, s * kx * s, c)
+        per_u = []
+        for ui in range(U):
+            rows = jax.lax.slice(f2p, (ui + 2, 0, 0),
+                                 (ui + 2 + ky, TWp, c))     # (ky, TWp, c)
+            m = jnp.einsum("ypc,yzc->ypz", f1g, rows,
+                           precision=jax.lax.Precision.HIGHEST,
+                           preferred_element_type=jnp.float32)
+            # m[Y, (i, X, j), Z]; want band Z = X + v + 2, v+R in [0, U)
+            m = m.reshape(ky, s, kx, s, TWp).transpose(0, 1, 3, 2, 4)
+            m = m.reshape(ky, s, s, kx * TWp)
+            # skewed reshape: row stride TWp+1 makes Z - X constant per col
+            m = jnp.pad(m, ((0, 0), (0, 0), (0, 0), (0, kx + 2)))
+            m = jax.lax.slice_in_dim(m, 2, 2 + kx * (TWp + 1), axis=3)
+            band = m.reshape(ky, s, s, kx, TWp + 1)[..., :U]
+            # (ky, s, s, kx, U) -> (h, w, U)
+            band = band.transpose(0, 1, 3, 2, 4).reshape(ky * s, kx * s, U)
+            per_u.append(band[:h, :w])
+        vols.append(jnp.stack(per_u, axis=2) * scale_dot)   # (h, w, U, U)
     return tuple(vols)
 
 

@@ -652,6 +652,124 @@ def raft_flow_batch(images1: jax.Array, images2: jax.Array,
     return out
 
 
+def _refine_scan_module(config: RAFTConfig, iters: int):
+    """The ``refine`` nn.scan module exactly as ``RAFT.__call__`` builds it —
+    its standalone param tree matches ``params['params']['refine']``, so the
+    video path below reuses the shipped checkpoint unchanged."""
+    return nn.scan(
+        _RefineStep,
+        variable_broadcast="params",
+        split_rngs={"params": False},
+        in_axes=(nn.broadcast, nn.broadcast, nn.broadcast),
+        out_axes=0,
+        length=iters,
+    )(config)
+
+
+def raft_flow_video(frames: jax.Array, params=None,
+                    iters: int = PRODUCT_ITERS,
+                    config: RAFTConfig = INFERENCE_CONFIG) -> jax.Array:
+    """Flow for every consecutive transition of a video clip, sharing the
+    per-frame feature encoding.
+
+    ``frames`` is (n, h, w, 3|1) consecutive frames; returns (n-1, h, w, 2)
+    flow for pairs (i, i+1). The pair API (``raft_flow_batch``) encodes each
+    interior frame TWICE (it is image2 of one transition and image1 of the
+    next — 2(n-1) fnet passes); video is a chain, so this entry encodes each
+    unique frame once (n fnet + n-1 cnet passes) and vmaps the GRU refinement
+    over transitions against the shared feature stack. Same checkpoint, same
+    math as the pair path (the encoders are per-frame pure functions; the
+    only numeric difference is bf16 conv batching reassociation, measured
+    ~0.02 px); replaces the reference's per-pair FlowNet2 sidecar calls
+    (``/root/reference/src/datasets/dataset.py:116-123``) on the product
+    video path.
+
+    TPU batch>=8 vmap-miscompile containment: shares ``raft_flow_batch``'s
+    process-wide canary — the refinement vmap output is finiteness-checked
+    once at local batch >= 8 and falls back to ``lax.map`` over transitions
+    (encoders stay batched either way; they never miscompiled).
+    """
+    if params is None:
+        from mav_detection_tpu.models import pretrained
+
+        params = pretrained.load_raft_params()
+        if params is None:
+            import logging
+
+            logging.getLogger("mav_detection_tpu").warning(
+                "no RAFT checkpoint found — using untrained weights; run "
+                "`python -m mav_detection_tpu.cli.train --model raft`")
+            key = ("default", (frames.shape[1] + (-frames.shape[1]) % 8,
+                               frames.shape[2] + (-frames.shape[2]) % 8))
+            if key not in _RAFT_CACHE:
+                _, _RAFT_CACHE[key] = create_raft(image_hw=key[1])
+            params = _RAFT_CACHE[key]
+    n, h, w = frames.shape[:3]
+    if frames.ndim == 3:
+        frames = frames[..., None]
+    if frames.shape[-1] == 1:
+        frames = jnp.repeat(frames, 3, axis=-1)
+    ph = (-h) % 8
+    pw = (-w) % 8
+    if ph or pw:
+        frames = jnp.pad(frames, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                         mode="edge")
+
+    global _VMAP_BATCH8_OK
+    use_map = (jax.default_backend() == "tpu" and n - 1 >= 8
+               and _VMAP_BATCH8_OK is False)
+    out = _raft_video_apply(params, frames, iters, config, use_map)
+    if (jax.default_backend() == "tpu" and n - 1 >= 8
+            and _VMAP_BATCH8_OK is None):
+        _VMAP_BATCH8_OK = bool(jnp.isfinite(out).all())
+        if not _VMAP_BATCH8_OK:
+            import logging
+
+            logging.getLogger("mav_detection_tpu").warning(
+                "TPU vmap batch>=8 RAFT miscompile detected on the video "
+                "path — falling back to lax.map for this process; see "
+                "tools/vmap_miscompile_repro.py")
+            out = _raft_video_apply(params, frames, iters, config, True)
+    return out[:, :h, :w]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("iters", "config", "use_map"))
+def _raft_video_apply(params, frames, iters, config: RAFTConfig,
+                      use_map: bool) -> jax.Array:
+    cfg = config
+    p = params["params"] if "params" in params else params
+    xs = frames.astype(jnp.float32) / 127.5 - 1.0
+
+    fnet = Encoder(cfg.feature_dim, dtype=cfg.dtype)
+    cnet = Encoder(cfg.hidden_dim + cfg.context_dim, dtype=cfg.dtype)
+    feats = jax.vmap(lambda x: fnet.apply({"params": p["fnet"]}, x))(xs)
+    couts = jax.vmap(lambda x: cnet.apply({"params": p["cnet"]}, x))(xs[:-1])
+
+    refine = _refine_scan_module(cfg, iters)
+
+    def transition(f1, f2, cout):
+        hidden = nn.tanh(cout[..., :cfg.hidden_dim])
+        context = nn.relu(cout[..., cfg.hidden_dim:])
+        if cfg.materialize_corr:
+            corr = all_pairs_correlation(f1, f2)
+            pyramid = tuple(build_corr_pyramid(corr, cfg.corr_levels))
+            vols: tuple = ()
+        else:
+            pyramid = tuple(build_feature_pyramid(f2, cfg.corr_levels))
+            vols = tuple(build_local_corr_volumes(
+                f1, pyramid, cfg.corr_radius, cfg.max_flow_lookup))
+        flow0 = jnp.zeros(f1.shape[:2] + (2,), jnp.float32)
+        (_, _), (flows8, masks) = refine.apply(
+            {"params": p["refine"]}, (hidden, flow0), context, pyramid, vols)
+        return convex_upsample(flows8[-1], masks[-1])
+
+    if use_map:
+        return jax.lax.map(lambda abc: transition(*abc),
+                           (feats[:-1], feats[1:], couts))
+    return jax.vmap(transition)(feats[:-1], feats[1:], couts)
+
+
 # ---------------------------------------------------------------- training
 def raft_loss(params, model: RAFT, img1, img2, flow_gt, gamma: float = 0.8,
               iters: int = 12, pixel_weight=None):

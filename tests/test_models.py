@@ -286,3 +286,50 @@ class TestMemoryLightCorr:
         flow, _ = jax.jit(lambda p, a, b: RAFT(cfg).apply(p, a, b, 2))(params, img, img)
         assert flow.shape == (32, 48, 2)
         assert np.isfinite(np.asarray(flow)).all()
+
+
+class TestRAFTVideo:
+    def test_video_matches_pair_path(self):
+        """raft_flow_video shares per-frame encodings across transitions;
+        the encoders are per-frame pure functions applied from the same
+        checkpoint subtrees, so the result must match the pair path up to
+        bf16 conv batching reassociation (vmapped convs pick different XLA
+        reduction orders than single ones — measured ~0.02 px, far below
+        the 0.5 px accuracy gates)."""
+        from mav_detection_tpu.models.raft import raft_flow, raft_flow_video
+
+        cfg = RAFTConfig(feature_dim=32, hidden_dim=32, context_dim=32,
+                         corr_levels=2, corr_radius=2, iters=2,
+                         materialize_corr=False, max_flow_lookup=2)
+        _, params = create_raft(config=cfg, image_hw=(32, 48))
+        rng = np.random.default_rng(7)
+        frames = jnp.asarray(rng.integers(0, 255, (4, 30, 47, 3)), jnp.uint8)
+
+        video = np.asarray(raft_flow_video(frames, params, iters=2, config=cfg))
+        assert video.shape == (3, 30, 47, 2)
+        for i in range(3):
+            pair = np.asarray(raft_flow(params, frames[i], frames[i + 1],
+                                        iters=2, config=cfg))
+            diff = np.abs(video[i] - pair)
+            assert diff.max() < 0.05, f"transition {i}: max diff {diff.max()}"
+            assert diff.mean() < 0.01
+
+    def test_video_grayscale_and_map_path(self):
+        from mav_detection_tpu.models.raft import (_raft_video_apply,
+                                                   raft_flow_video)
+
+        cfg = RAFTConfig(feature_dim=32, hidden_dim=32, context_dim=32,
+                         corr_levels=2, corr_radius=2, iters=2,
+                         materialize_corr=False)
+        _, params = create_raft(config=cfg, image_hw=(32, 48))
+        rng = np.random.default_rng(3)
+        frames_g = jnp.asarray(rng.integers(0, 255, (3, 32, 48)), jnp.uint8)
+        out = raft_flow_video(frames_g, params, iters=2, config=cfg)
+        assert out.shape == (2, 32, 48, 2)
+
+        # lax.map fallback graph produces the same values as vmap
+        frames = jnp.repeat(frames_g[..., None], 3, -1)
+        v = _raft_video_apply(params, frames, 2, cfg, False)
+        m = _raft_video_apply(params, frames, 2, cfg, True)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(m),
+                                   rtol=2e-5, atol=2e-5)

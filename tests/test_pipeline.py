@@ -434,3 +434,38 @@ class TestConvertExport:
         got = cv2.imread(imgs[0])
         assert got is not None and got.shape == np.asarray(expected).shape
         np.testing.assert_array_equal(got, np.asarray(expected, np.uint8))
+
+
+class TestRAFTVideoStaging:
+    """Product RAFT path: contiguous staged batches share per-frame encoding
+    (raft_flow_video) and must match the pair-batch path numerically."""
+
+    def test_staged_video_matches_pair_batch(self, synthetic, tmp_path,
+                                             monkeypatch):
+        monkeypatch.setenv("SYNTHETIC_PATH", str(tmp_path))
+        cfg = RunConfig(dataset="synthetic", mode="FLOW_FOE_CLUSTERING",
+                        flow_source="RAFT", headless=True, batch_size=3)
+        proc = Processor(cfg)
+        proc.dataset = synthetic
+
+        idx = [0, 1, 2]
+        staged = proc._stage_batch(idx)
+        # contiguous transitions stage B+1 unique frames, not 2B pairs
+        assert "frames_rgb" in staged
+        assert staged["frames_rgb"].shape[0] == 4
+
+        video = np.asarray(proc._flow_from_staged(idx, staged))
+        pairs = np.asarray(proc._flow_batch(idx))
+        assert video.shape == pairs.shape
+        # same checkpoint, same math; bf16 conv batching reassociation only
+        assert np.abs(video - pairs).max() < 0.1
+
+    def test_noncontiguous_batch_falls_back_to_pairs(self, synthetic,
+                                                     tmp_path, monkeypatch):
+        monkeypatch.setenv("SYNTHETIC_PATH", str(tmp_path))
+        cfg = RunConfig(dataset="synthetic", mode="FLOW_FOE_CLUSTERING",
+                        flow_source="RAFT", headless=True, batch_size=2)
+        proc = Processor(cfg)
+        proc.dataset = synthetic
+        staged = proc._stage_batch([0, 2])
+        assert "prevs_rgb" in staged and "frames_rgb" not in staged

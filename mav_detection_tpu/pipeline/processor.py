@@ -158,8 +158,18 @@ class Processor:
                     staged["flow_host"] = np.stack(
                         [np.asarray(getter(i), np.float32) for i in idx])
         elif src in (FlowSource.FARNEBACK, FlowSource.LUCAS_KANADE):
-            staged["prevs"] = np.stack([self._gray(ds.get_frame(i)) for i in idx])
-            staged["currs"] = np.stack([self._gray(ds.get_frame(i + 1)) for i in idx])
+            # contiguous transitions stage B+1 UNIQUE gray frames (video is
+            # a chain): half the PNG decodes and half the host->device frame
+            # bytes; the device slices prevs/currs views out of one upload
+            if idx == list(range(idx[0], idx[0] + len(idx))) and self.mesh is None:
+                staged["grays"] = np.stack(
+                    [self._gray(ds.get_frame(i))
+                     for i in range(idx[0], idx[-1] + 2)])
+            else:
+                staged["prevs"] = np.stack(
+                    [self._gray(ds.get_frame(i)) for i in idx])
+                staged["currs"] = np.stack(
+                    [self._gray(ds.get_frame(i + 1)) for i in idx])
         elif src == FlowSource.RAFT:
             # RGB frames staged here so PNG decode overlaps device compute
             # (round-2 weak #6: the net path used to re-read synchronously).
@@ -207,6 +217,18 @@ class Processor:
         if "flow_host" in staged:
             return staged["flow_host"]
         src = self._effective_flow_source()
+        if src == FlowSource.FARNEBACK and "grays" in staged:
+            # one upload of B+1 unique frames; prevs/currs are device-side
+            # slices (XLA views), so the transition overlap ships once
+            grays = jnp.asarray(staged["grays"])
+            return farneback_flow_batch(grays[:-1], grays[1:], self._farneback)
+        if src == FlowSource.LUCAS_KANADE and "grays" in staged:
+            from mav_detection_tpu.ops.flow.lucas_kanade import lk_dense_flow
+
+            grays = jnp.asarray(staged["grays"], jnp.float32)
+            return np.stack([
+                np.asarray(lk_dense_flow(grays[j], grays[j + 1]))
+                for j in range(len(idx))])
         if src == FlowSource.FARNEBACK and "prevs" in staged:
             prevs = jnp.asarray(staged["prevs"])
             currs = jnp.asarray(staged["currs"])

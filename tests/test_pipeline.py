@@ -469,3 +469,38 @@ class TestRAFTVideoStaging:
         proc.dataset = synthetic
         staged = proc._stage_batch([0, 2])
         assert "prevs_rgb" in staged and "frames_rgb" not in staged
+
+
+class TestFarnebackSharedStaging:
+    """Contiguous Farneback/LK batches stage B+1 unique gray frames; the
+    device slices prevs/currs out of one upload. Flow must match the
+    pair-staged path exactly (same arrays, different transport)."""
+
+    def test_grays_staging_matches_flow_batch(self, synthetic, tmp_path,
+                                              monkeypatch):
+        monkeypatch.setenv("SYNTHETIC_PATH", str(tmp_path))
+        cfg = RunConfig(dataset="synthetic", mode="FLOW_FOE_CLUSTERING",
+                        flow_source="FARNEBACK", headless=True, batch_size=4)
+        proc = Processor(cfg)
+        proc.dataset = synthetic
+
+        idx = [1, 2, 3, 4]
+        staged = proc._stage_batch(idx)
+        assert "grays" in staged and staged["grays"].shape[0] == 5
+        shared = np.asarray(proc._flow_from_staged(idx, staged))
+        pairs = np.asarray(proc._flow_batch(idx))
+        np.testing.assert_allclose(shared, pairs, atol=1e-5)
+
+    def test_lk_grays_staging(self, synthetic, tmp_path, monkeypatch):
+        monkeypatch.setenv("SYNTHETIC_PATH", str(tmp_path))
+        cfg = RunConfig(dataset="synthetic", mode="FLOW_FOE_CLUSTERING",
+                        flow_source="LUCAS_KANADE", headless=True,
+                        batch_size=2)
+        proc = Processor(cfg)
+        proc.dataset = synthetic
+        idx = [0, 1]
+        staged = proc._stage_batch(idx)
+        assert "grays" in staged
+        shared = np.asarray(proc._flow_from_staged(idx, staged))
+        pairs = np.asarray(proc._flow_batch(idx))
+        np.testing.assert_allclose(shared, pairs, atol=1e-4)

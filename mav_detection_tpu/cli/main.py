@@ -116,7 +116,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="frame engine: batch (fused frame batches), "
                              "scan (one lax.scan program with carried "
                              "temporal state), chunked (time chunks over "
-                             "the mesh; needs --devices)")
+                             "the mesh; needs --devices), spatial (each "
+                             "frame's flow solve row-sharded over the mesh "
+                             "for hi-res latency; needs --devices)")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--prepare-dataset", action="store_true",
                         help="prepares the YOLOv4 training dataset")

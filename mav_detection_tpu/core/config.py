@@ -122,7 +122,10 @@ class RunConfig:
     # frame engine: "batch" = fused detection over frame batches (default),
     # "scan" = one lax.scan program over the whole sequence with carried
     # temporal state, "chunked" = time chunks sharded over the mesh with a
-    # ppermute'd halo frame (needs devices > 1). SURVEY §2c "temporal scan".
+    # ppermute'd halo frame (needs devices > 1), "spatial" = each frame's
+    # Farneback solve row-sharded over the mesh for per-frame LATENCY
+    # scaling at high resolutions (needs devices > 1; parallel/spatial.py).
+    # SURVEY §2c "temporal scan" / tensor-spatial axis.
     engine: str = "batch"
     settings_path: Optional[str] = None
     logger: Optional[logging.Logger] = None
@@ -136,9 +139,10 @@ class RunConfig:
             self.algorithm = _parse_enum(Algorithm, self.algorithm)
         if isinstance(self.flow_source, str):
             self.flow_source = _parse_enum(FlowSource, self.flow_source)
-        if self.engine not in ("batch", "scan", "chunked"):
+        if self.engine not in ("batch", "scan", "chunked", "spatial"):
             raise ValueError(
-                f"engine={self.engine!r}: must be batch, scan or chunked")
+                f"engine={self.engine!r}: must be batch, scan, chunked or "
+                "spatial")
         if not self.settings:
             self.settings = load_settings(self.settings_path)
         if self.logger is None:

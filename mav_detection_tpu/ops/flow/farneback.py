@@ -502,11 +502,18 @@ def _warp_separable(R1: jax.Array, fx, fy, x1, y1, h: int, w: int,
 
 def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array,
                      border: jax.Array, warp: str = "gather",
-                     max_shift: int = 16) -> jax.Array:
+                     max_shift: int = 16, row0=None,
+                     global_h: int = 0) -> jax.Array:
     """Per-pixel normal-equation entries M = [G11, G12, G22, h1, h2].
 
     All arrays carry the (h, w, b, ...) layout: R0/R1 (h, w, b, 5),
-    flow (h, w, b, 2), border (h, w)."""
+    flow (h, w, b, 2), border (h, w).
+
+    ``row0``/``global_h`` support the row-sharded spatial path
+    (parallel/spatial.py): when the arrays are a haloed row SLAB of a larger
+    image, ``row0`` is the slab's first global row (may be a traced scalar)
+    and ``global_h`` the full image height — the inside-image gate then uses
+    GLOBAL coordinates so slab edges are not mistaken for image edges."""
     h, w = flow.shape[:2]
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w, 1), 0)
@@ -518,7 +525,11 @@ def _update_matrices(R0: jax.Array, R1: jax.Array, flow: jax.Array,
     y1 = jnp.floor(fy)
     fx = fx - x1
     fy = fy - y1
-    inside = (x1 >= 0) & (x1 < w - 1) & (y1 >= 0) & (y1 < h - 1)
+    if row0 is not None:
+        y1g = y1 + row0
+        inside = (x1 >= 0) & (x1 < w - 1) & (y1g >= 0) & (y1g < global_h - 1)
+    else:
+        inside = (x1 >= 0) & (x1 < w - 1) & (y1 >= 0) & (y1 < h - 1)
     fx = jnp.where(inside, fx, 0.0)
     fy = jnp.where(inside, fy, 0.0)
     if warp == "separable":

@@ -11,3 +11,7 @@ __all__ = [
     "detect_frames_sharded",
     "aggregate_metrics_psum",
 ]
+
+from mav_detection_tpu.parallel.spatial import farneback_flow_spatial  # noqa: E402
+
+__all__.append("farneback_flow_spatial")

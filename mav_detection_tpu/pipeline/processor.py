@@ -62,6 +62,15 @@ class Processor:
                 self.mesh = make_mesh(config.devices)
                 # each device needs at least one frame of every batch
                 self.batch_size = max(self.batch_size, config.devices)
+        if config.engine == "spatial" and self.mesh is None:
+            raise ValueError("--engine spatial row-shards each frame's flow "
+                             "solve over the mesh; it requires --devices > 1")
+        if (config.engine == "spatial"
+                and config.flow_source not in (FlowSource.FARNEBACK,)):
+            raise ValueError(
+                f"--engine spatial shards the Farneback solver; "
+                f"--flow-source {config.flow_source.name} is not supported "
+                "there — use the batch engine")
         self.detection_results: Dict[int, FrameResult] = {}
         self._psum_metrics: List[tuple] = []
         self._stage_host_seconds = 0.0
@@ -161,7 +170,8 @@ class Processor:
             # contiguous transitions stage B+1 UNIQUE gray frames (video is
             # a chain): half the PNG decodes and half the host->device frame
             # bytes; the device slices prevs/currs views out of one upload
-            if idx == list(range(idx[0], idx[0] + len(idx))) and self.mesh is None:
+            if idx == list(range(idx[0], idx[0] + len(idx))) and (
+                    self.mesh is None or self.config.engine == "spatial"):
                 staged["grays"] = np.stack(
                     [self._gray(ds.get_frame(i))
                      for i in range(idx[0], idx[-1] + 2)])
@@ -221,6 +231,8 @@ class Processor:
             # one upload of B+1 unique frames; prevs/currs are device-side
             # slices (XLA views), so the transition overlap ships once
             grays = jnp.asarray(staged["grays"])
+            if self.config.engine == "spatial":
+                return self._flow_spatial_pairs(grays[:-1], grays[1:])
             return farneback_flow_batch(grays[:-1], grays[1:], self._farneback)
         if src == FlowSource.LUCAS_KANADE and "grays" in staged:
             from mav_detection_tpu.ops.flow.lucas_kanade import lk_dense_flow
@@ -232,6 +244,8 @@ class Processor:
         if src == FlowSource.FARNEBACK and "prevs" in staged:
             prevs = jnp.asarray(staged["prevs"])
             currs = jnp.asarray(staged["currs"])
+            if self.config.engine == "spatial":
+                return self._flow_spatial_pairs(prevs, currs)
             if self.mesh is not None and len(idx) % self.mesh.devices.size == 0:
                 from mav_detection_tpu.parallel import shard_frame_batch
 
@@ -273,6 +287,26 @@ class Processor:
             return flow
         return self._flow_batch(idx)  # fallback (unstaged callers)
 
+    def _flow_spatial_pairs(self, prevs: jax.Array, currs: jax.Array):
+        """``--engine spatial``: each transition's Farneback solve row-sharded
+        over the mesh (parallel/spatial.py) — per-frame LATENCY scales ~1/P
+        at high resolutions instead of only batch throughput. Pads rows to a
+        multiple of the mesh size and crops the flow back."""
+        from mav_detection_tpu.parallel import farneback_flow_spatial
+
+        n_dev = self.mesh.devices.size
+        h = prevs.shape[1]
+        pad = (-h) % n_dev
+        out = []
+        for j in range(prevs.shape[0]):
+            p, c = prevs[j], currs[j]
+            if pad:
+                p = jnp.pad(p, ((0, pad), (0, 0)), mode="edge")
+                c = jnp.pad(c, ((0, pad), (0, 0)), mode="edge")
+            out.append(farneback_flow_spatial(
+                p, c, self._farneback, self.mesh)[:h])
+        return jnp.stack(out)
+
     def _flow_batch(self, indices: List[int]) -> np.ndarray:
         """Dense flow for frame pairs (i, i+1) for each i in indices."""
         src = self._effective_flow_source()
@@ -285,6 +319,8 @@ class Processor:
                 [self._gray(ds.get_frame(i)) for i in indices]))
             currs = jnp.asarray(np.stack(
                 [self._gray(ds.get_frame(i + 1)) for i in indices]))
+            if self.config.engine == "spatial":
+                return self._flow_spatial_pairs(prevs, currs)
             if self.mesh is not None and len(indices) % self.mesh.devices.size == 0:
                 from mav_detection_tpu.parallel import shard_frame_batch
 

@@ -78,3 +78,104 @@ class TestShardedProcessor:
         # GSPMD may pick different conv algorithms per sharding; flow agrees
         # to well under any detection-relevant scale (atol in px)
         np.testing.assert_allclose(sharded, plain, atol=0.02)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestSpatialFarneback:
+    """Row-sharded hi-res Farneback (parallel/spatial.py): 8-way spatial
+    decomposition with ppermute halo exchange must reproduce the unsharded
+    separable-warp solver."""
+
+    def _scene(self, h, w, seed=0):
+        # smooth non-uniform warp of a textured image (same family as the
+        # bench scene: trackable, analytic-ish motion)
+        rng = np.random.default_rng(seed)
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float32)
+        tex = (120 + 55 * np.sin(0.11 * xs + 0.07 * ys)
+               + 30 * np.sin(0.31 * xs - 0.17 * ys)
+               + 18 * np.sin(0.53 * xs + 0.41 * ys))
+        dx = 3.0 + 1.5 * np.sin(2 * np.pi * ys / h)
+        dy = -2.0 + 1.0 * np.cos(2 * np.pi * xs / w)
+        import jax.numpy as jnp
+        from mav_detection_tpu.ops.geometry.warp import sample_bilinear_replicate
+
+        curr = np.asarray(sample_bilinear_replicate(
+            jnp.asarray(tex)[..., None], jnp.asarray(xs + dx),
+            jnp.asarray(ys + dy)))[..., 0]
+        return tex.astype(np.float32), curr.astype(np.float32)
+
+    def test_matches_unsharded(self):
+        from mav_detection_tpu.ops.flow import FarnebackParams, farneback_flow
+        from mav_detection_tpu.parallel import farneback_flow_spatial, make_mesh
+
+        import jax.numpy as jnp
+
+        h, w = 192, 160
+        prev, curr = self._scene(h, w)
+        params = FarnebackParams(warp="separable", levels=2, pyr_scale=0.5,
+                                 iterations=6, max_shift=8)
+        mesh = make_mesh()
+        ref = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr),
+                                        params))
+        sp = np.asarray(farneback_flow_spatial(jnp.asarray(prev),
+                                               jnp.asarray(curr),
+                                               params, mesh))
+        assert sp.shape == ref.shape
+        diff = np.abs(sp - ref)
+        # exact decomposition: only matmul-tiling float reassociation left
+        assert diff.max() < 1e-3, f"max diff {diff.max()}"
+
+    def test_rejects_indivisible_height(self):
+        from mav_detection_tpu.parallel import farneback_flow_spatial, make_mesh
+
+        import jax.numpy as jnp
+
+        mesh = make_mesh()
+        img = jnp.zeros((190, 64), jnp.float32)
+        with pytest.raises(ValueError):
+            farneback_flow_spatial(img, img, mesh=mesh)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestSpatialEngine:
+    """--engine spatial through the product Processor: per-frame row-sharded
+    Farneback, detection results must match the unsharded batch engine."""
+
+    def _run(self, engine, devices):
+        config = RunConfig(logger=logging.getLogger("test"),
+                           dataset="synthetic", mode="FLOW_FOE_CLUSTERING",
+                           flow_source="FARNEBACK", batch_size=4,
+                           devices=devices, engine=engine, headless=True)
+        proc = Processor(config)
+        proc.dataset = SyntheticDataset(params=SyntheticParams(
+            height=192, width=128, n_frames=5))
+        proc.save_images = False
+        try:
+            return proc.run_detection_foe()
+        finally:
+            proc.release()
+
+    def test_spatial_matches_batch(self):
+        res_b = self._run("batch", devices=0)
+        res_s = self._run("spatial", devices=8)
+        assert set(res_b) == set(res_s)
+        for i in res_b:
+            # flow solvers differ only by warp impl (auto vs separable) and
+            # the sharded decomposition's float reassociation
+            np.testing.assert_allclose(res_b[i].foe_dense,
+                                       res_s[i].foe_dense, atol=2.0)
+            np.testing.assert_allclose(
+                [res_b[i].tpr_fixed, res_b[i].fpr_fixed],
+                [res_s[i].tpr_fixed, res_s[i].fpr_fixed], atol=0.05)
+
+    def test_spatial_requires_mesh(self):
+        with pytest.raises(ValueError, match="devices"):
+            self._run("spatial", devices=0)
+
+    def test_spatial_rejects_net_flow(self):
+        config = RunConfig(logger=logging.getLogger("test"),
+                           dataset="synthetic", mode="FLOW_FOE_CLUSTERING",
+                           flow_source="RAFT", devices=8, engine="spatial",
+                           headless=True)
+        with pytest.raises(ValueError, match="spatial"):
+            Processor(config)

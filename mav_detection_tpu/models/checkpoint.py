@@ -54,12 +54,18 @@ def save_msgpack(path: str, params: Any) -> str:
     return path
 
 
-def load_msgpack(path: str, like: Any) -> Any:
+def load_msgpack(path: str, like: Any, migrate=None) -> Any:
+    """Restore ``like``-shaped params from a msgpack file. ``migrate``, if
+    given, receives the raw restored state dict and may rewrite legacy key
+    layouts before it is matched against ``like``."""
     from flax import serialization
 
     with open(path, "rb") as f:
         data = f.read()
-    return serialization.from_bytes(like, data)
+    if migrate is None:
+        return serialization.from_bytes(like, data)
+    state = serialization.msgpack_restore(data)
+    return serialization.from_state_dict(like, migrate(state))
 
 
 def load_msgpack_if_exists(path: str, like: Any) -> Optional[Any]:

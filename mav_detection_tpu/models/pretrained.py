@@ -51,10 +51,28 @@ def load_raft_params(config=None) -> Optional[Any]:
     # conv-only model: param shapes are independent of image size, so a tiny
     # init supplies the pytree template cheaply
     _, like = create_raft(config=config, image_hw=(64, 96))
-    params = checkpoint.load_msgpack(path, like)
+    params = checkpoint.load_msgpack(path, like,
+                                     migrate=_migrate_raft_state)
     _CACHE[key] = params
     logger.info(f"loaded RAFT weights from {path}")
     return params
+
+
+def _migrate_raft_state(state: Any) -> Any:
+    """Pre-mask-hoist checkpoints kept the convex-upsample mask head inside
+    the per-iteration update block (refine/update/{Conv_6, mask_head});
+    it now lives at the RAFT level as mask_hidden/mask_head (computed once
+    per inference from the final hidden state — models/raft.py UpdateBlock
+    docstring). Pure key move, weights unchanged; Conv_0..Conv_5 numbering
+    is unaffected because the hoisted conv was the last anonymous one."""
+    p = state.get("params", state)
+    upd = p.get("refine", {}).get("update", {})
+    if "mask_head" in upd:
+        p["mask_head"] = upd.pop("mask_head")
+        p["mask_hidden"] = upd.pop("Conv_6")
+        logger.info("migrated pre-hoist RAFT checkpoint layout "
+                    "(refine/update mask head -> top-level)")
+    return state
 
 
 def load_sky_params() -> Optional[Any]:

@@ -327,6 +327,14 @@ class ConvGRU(nn.Module):
 
 
 class UpdateBlock(nn.Module):
+    """GRU update + flow head. The convex-upsample MASK head is NOT here:
+    it depends only on the hidden state, so it lives at the RAFT level
+    (``mask_hidden``/``mask_head``) and runs per-iteration only when the
+    training sequence loss needs it — inside the scan it cost a
+    (iters, h, w, 576) f32 stack (~78 MB of HBM traffic per frame at
+    752x480) even for final-only inference. Pre-hoist checkpoints
+    (refine/update/{Conv_6, mask_head}) are migrated on load
+    (models/pretrained.py)."""
     config: RAFTConfig
 
     @nn.compact
@@ -346,10 +354,7 @@ class UpdateBlock(nn.Module):
         dflow = nn.Conv(2, (3, 3), dtype=jnp.float32,
                         name="flow_head")(nn.relu(
                             nn.Conv(128, (3, 3), dtype=dt)(hidden)).astype(jnp.float32))
-        # convex upsampling mask (8x8 neighborhood of 9 weights)
-        mask = nn.Conv(8 * 8 * 9, (1, 1), dtype=jnp.float32, name="mask_head")(
-            nn.relu(nn.Conv(128, (3, 3), dtype=dt)(hidden)).astype(jnp.float32))
-        return hidden, dflow, mask
+        return hidden, dflow
 
 
 def convex_upsample(flow: jax.Array, mask: jax.Array) -> jax.Array:
@@ -382,10 +387,10 @@ class _RefineStep(nn.Module):
         else:
             corr_feat = lookup_corr_volumes(
                 vols, [p.shape[:2] for p in pyramid], flow, cfg.corr_radius)
-        hidden, dflow, mask = UpdateBlock(cfg, name="update")(
+        hidden, dflow = UpdateBlock(cfg, name="update")(
             hidden, context, corr_feat, flow)
         flow = flow + dflow
-        return (hidden, flow), (flow, mask)
+        return (hidden, flow), (flow, hidden)
 
 
 class RAFT(nn.Module):
@@ -437,12 +442,21 @@ class RAFT(nn.Module):
             out_axes=0,
             length=iters,
         )
-        (_, flow), (flows8, masks) = scan(cfg, name="refine")(
+        (hidden_f, flow), (flows8, hiddens) = scan(cfg, name="refine")(
             (hidden, flow), context, pyramid, vols)
 
+        # convex-upsample mask head, hoisted out of the scan: it reads only
+        # the hidden state, so inference computes it once on the final state
+        # while training applies the same (broadcast) weights to the stacked
+        # per-iteration hiddens for the sequence loss
+        mask_hidden = nn.Conv(128, (3, 3), dtype=cfg.dtype, name="mask_hidden")
+        mask_head = nn.Conv(8 * 8 * 9, (1, 1), dtype=jnp.float32,
+                            name="mask_head")
         if not upsample_all:
-            final = convex_upsample(flows8[-1], masks[-1])
+            mask = mask_head(nn.relu(mask_hidden(hidden_f)).astype(jnp.float32))
+            final = convex_upsample(flows8[-1], mask)
             return final, final[None]
+        masks = mask_head(nn.relu(mask_hidden(hiddens)).astype(jnp.float32))
         predictions = jax.vmap(convex_upsample)(flows8, masks)
         return predictions[-1], predictions
 
@@ -747,6 +761,8 @@ def _raft_video_apply(params, frames, iters, config: RAFTConfig,
     couts = jax.vmap(lambda x: cnet.apply({"params": p["cnet"]}, x))(xs[:-1])
 
     refine = _refine_scan_module(cfg, iters)
+    mask_hidden = nn.Conv(128, (3, 3), dtype=cfg.dtype)
+    mask_head = nn.Conv(8 * 8 * 9, (1, 1), dtype=jnp.float32)
 
     def transition(f1, f2, cout):
         hidden = nn.tanh(cout[..., :cfg.hidden_dim])
@@ -760,9 +776,13 @@ def _raft_video_apply(params, frames, iters, config: RAFTConfig,
             vols = tuple(build_local_corr_volumes(
                 f1, pyramid, cfg.corr_radius, cfg.max_flow_lookup))
         flow0 = jnp.zeros(f1.shape[:2] + (2,), jnp.float32)
-        (_, _), (flows8, masks) = refine.apply(
+        (hidden_f, _), (flows8, _) = refine.apply(
             {"params": p["refine"]}, (hidden, flow0), context, pyramid, vols)
-        return convex_upsample(flows8[-1], masks[-1])
+        mask = mask_head.apply(
+            {"params": p["mask_head"]},
+            nn.relu(mask_hidden.apply(
+                {"params": p["mask_hidden"]}, hidden_f)).astype(jnp.float32))
+        return convex_upsample(flows8[-1], mask)
 
     if use_map:
         return jax.lax.map(lambda abc: transition(*abc),

@@ -40,7 +40,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh
 from jax.sharding import PartitionSpec as P
 
@@ -227,3 +227,49 @@ def farneback_flow_spatial(prev: jax.Array, curr: jax.Array,
             f"image height {prev.shape[0]} must divide by the mesh axis "
             f"size {mesh.shape[axis]} (pad the frame or resize)")
     return _flow_spatial(prev, curr, params, mesh, axis)[:, :, 0]
+
+
+def raft_flow_spatial(image1: jax.Array, image2: jax.Array, params=None,
+                      mesh: Optional[Mesh] = None, axis: str = "data",
+                      iters: int = 0, config=None) -> jax.Array:
+    """RAFT inference for ONE hi-res frame pair, row-sharded across ``mesh``.
+
+    The net-flow counterpart of ``farneback_flow_spatial``: the frame pair
+    is placed with its rows sharded over the mesh and the standard inference
+    graph runs under GSPMD, which partitions the conv encoders / GRU with
+    automatic halo exchange and the per-row corr-volume matmuls along the
+    sharded row axis (the volume build is a batched per-pooled-row einsum —
+    models/raft.py ``build_local_corr_volumes`` — so it splits cleanly).
+    Exactness vs the unsharded graph is float-reassociation only, gated in
+    ``tests/test_parallel_pipeline.py``.
+    """
+    import jax as _jax
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as _P
+
+    from mav_detection_tpu.models.raft import (INFERENCE_CONFIG,
+                                               PRODUCT_ITERS, raft_flow)
+
+    if config is None:
+        config = INFERENCE_CONFIG
+
+    if mesh is None:
+        from mav_detection_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+    if params is None:
+        from mav_detection_tpu.models import pretrained
+
+        params = pretrained.load_raft_params()
+        if params is None:
+            raise ValueError("no RAFT checkpoint found — pass params")
+    if image1.shape[0] % mesh.shape[axis]:
+        raise ValueError(
+            f"image height {image1.shape[0]} must divide by the mesh axis "
+            f"size {mesh.shape[axis]} (pad the frame or resize)")
+    rows = NamedSharding(mesh, _P(axis))
+    image1 = _jax.device_put(image1, rows)
+    image2 = _jax.device_put(image2, rows)
+    params = _jax.device_put(params, NamedSharding(mesh, _P()))
+    return raft_flow(params, image1, image2, iters or PRODUCT_ITERS,
+                     config=config)

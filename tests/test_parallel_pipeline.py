@@ -179,3 +179,35 @@ class TestSpatialEngine:
                            headless=True)
         with pytest.raises(ValueError, match="spatial"):
             Processor(config)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestSpatialRAFT:
+    def test_row_sharded_inference_matches_unsharded(self):
+        """raft_flow_spatial: GSPMD partitions the inference graph along the
+        sharded row axis (conv halo exchange + per-row volume matmuls);
+        results must match the unsharded graph."""
+        from mav_detection_tpu.models.raft import (RAFTConfig, create_raft,
+                                                   raft_flow)
+        from mav_detection_tpu.parallel import make_mesh
+        from mav_detection_tpu.parallel.spatial import raft_flow_spatial
+
+        import jax.numpy as jnp
+
+        cfg = RAFTConfig(feature_dim=32, hidden_dim=32, context_dim=32,
+                         corr_levels=2, corr_radius=2, iters=2,
+                         materialize_corr=False)
+        _, params = create_raft(config=cfg, image_hw=(64, 96))
+        rng = np.random.default_rng(0)
+        i1 = jnp.asarray(rng.integers(0, 255, (64, 96, 3)), jnp.uint8)
+        i2 = jnp.asarray(rng.integers(0, 255, (64, 96, 3)), jnp.uint8)
+        mesh = make_mesh()
+        ref = np.asarray(raft_flow(params, i1, i2, iters=2, config=cfg))
+        sp = np.asarray(raft_flow_spatial(i1, i2, params, mesh, iters=2,
+                                          config=cfg))
+        # partitioned bf16 convs reassociate differently under GSPMD —
+        # ~0.02 px, the same scale as vmapped-vs-single conv batching and
+        # far below the 0.5 px accuracy gates
+        diff = np.abs(sp - ref)
+        assert diff.max() < 0.05, f"max diff {diff.max()}"
+        assert diff.mean() < 0.01

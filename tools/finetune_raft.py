@@ -93,7 +93,7 @@ def main() -> None:
 
     init = shipped
     if args.init:
-        init = checkpoint.load_msgpack(args.init, shipped)
+        init = checkpoint.load_msgpack(args.init, shipped, migrate=pretrained._migrate_raft_state)
         log.info(f"resuming from {args.init}")
 
     params, _ = train_raft(steps=args.steps, chunk=args.chunk,

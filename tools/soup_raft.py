@@ -44,7 +44,7 @@ def main() -> None:
     from tools.finetune_raft import cross_domain
 
     shipped = pretrained.load_raft_params()
-    cand = checkpoint.load_msgpack(args.candidate, shipped)
+    cand = checkpoint.load_msgpack(args.candidate, shipped, migrate=pretrained._migrate_raft_state)
 
     epe0, depe0 = eval_raft(shipped)
     cd0 = cross_domain(shipped)

@@ -358,18 +358,23 @@ class UpdateBlock(nn.Module):
 
 
 def convex_upsample(flow: jax.Array, mask: jax.Array) -> jax.Array:
-    """8x upsample flow with learned convex combinations of 3x3 neighbors."""
+    """8x upsample flow with learned convex combinations of 3x3 neighbors.
+
+    The combination is a broadcast multiply-reduce, NOT an einsum: the
+    natural ``(h*w)``-batched (64, 9) @ (9, 2) dot_generals are pathological
+    on TPU (tiny MXU tiles) and einsum silently ran the product in bf16 —
+    measured 0.60 -> 0.30 ms/frame at 752x480 batch-8 AND exact f32 after
+    the rewrite (PERF.md "convex upsample")."""
     h, w, _ = flow.shape
-    mask = mask.reshape(h, w, 8, 8, 9)
-    mask = jax.nn.softmax(mask, axis=-1)
+    m = jax.nn.softmax(mask.reshape(h, w, 64, 9), axis=-1)
     # 3x3 neighborhoods of the coarse flow (x8 scaling of the values)
     pads = jnp.pad(flow * 8.0, ((1, 1), (1, 1), (0, 0)), mode="edge")
     neighbors = jnp.stack([
         pads[dy:dy + h, dx:dx + w] for dy in range(3) for dx in range(3)
     ], axis=-1)  # (h, w, 2, 9)
-    # mask: (h, w, 8, 8, 9), neighbors: (h, w, 2, 9)
-    up = jnp.einsum("hwabj,hwcj->hwabc", mask, neighbors)
-    return up.transpose(0, 2, 1, 3, 4).reshape(h * 8, w * 8, 2)
+    up = jnp.sum(m[..., None, :] * neighbors[..., None, :, :], axis=-1)
+    return (up.reshape(h, w, 8, 8, 2)
+            .transpose(0, 2, 1, 3, 4).reshape(h * 8, w * 8, 2))
 
 
 class _RefineStep(nn.Module):

@@ -620,17 +620,9 @@ def raft_flow_batch(images1: jax.Array, images2: jax.Array,
 
         params = pretrained.load_raft_params()
     if params is None:
-        import logging
-
-        logging.getLogger("mav_detection_tpu").warning(
-            "no RAFT checkpoint found — using untrained weights; run "
-            "`python -m mav_detection_tpu.cli.train --model raft`")
-        key = ("default", images1.shape[1:3])
-        if key not in _RAFT_CACHE:
-            _, _RAFT_CACHE[key] = create_raft(
-                image_hw=(images1.shape[1] + (-images1.shape[1]) % 8,
-                          images1.shape[2] + (-images1.shape[2]) % 8))
-        params = _RAFT_CACHE[key]
+        params = _default_params(
+            (images1.shape[1] + (-images1.shape[1]) % 8,
+             images1.shape[2] + (-images1.shape[2]) % 8))
 
     def run_vmap():
         return jax.vmap(lambda a, b: raft_flow(params, a, b, iters))(
@@ -641,33 +633,65 @@ def raft_flow_batch(images1: jax.Array, images2: jax.Array,
             lambda ab: raft_flow(params, ab[0], ab[1], iters),
             (images1, images2))
 
-    def all_finite(out: jax.Array) -> bool:
-        # device-side reduction: one scalar crosses the host boundary, not
-        # the whole (b, h, w, 2) flow batch (which the caller transfers
-        # anyway when it materializes the result)
-        return bool(jnp.isfinite(out).all())
-
-    global _VMAP_BATCH8_OK
     batch = images1.shape[0]
     local_batch = -(-batch // _batch_shard_count(images1))
+    return _contained_batch8(run_vmap, run_map, local_batch)
+
+
+def _default_params(hw: Tuple[int, int], config: RAFTConfig = RAFTConfig()):
+    """No-checkpoint fallback: fresh random params (valid-shaped but
+    uninformative flow), cached per padded image size and config, with a
+    warning. Shared by the pair and video entry points."""
+    import logging
+
+    logging.getLogger("mav_detection_tpu").warning(
+        "no RAFT checkpoint found — using untrained weights; run "
+        "`python -m mav_detection_tpu.cli.train --model raft`")
+    key = ("default", hw, config)
+    if key not in _RAFT_CACHE:
+        _, _RAFT_CACHE[key] = create_raft(config=config, image_hw=hw)
+    return _RAFT_CACHE[key]
+
+
+def _contained_batch8(run_vmap, run_map, local_batch: int) -> jax.Array:
+    """TPU vmap-batch>=8 miscompile containment shared by the pair and video
+    paths (see ``raft_flow_batch``'s docstring for the strategy). Finiteness
+    is checked per call (one device scalar): a non-finite vmap result falls
+    back to lax.map for THAT call — if the map result is finite the known
+    miscompile is confirmed and remembered for the process; if the map
+    result is also non-finite the inputs are bad and we raise instead of
+    poisoning the canary."""
+    global _VMAP_BATCH8_OK
     if jax.default_backend() != "tpu" or local_batch < 8:
         return run_vmap()
-    if _VMAP_BATCH8_OK is None:
-        out = run_vmap()
-        _VMAP_BATCH8_OK = all_finite(out)
-        if _VMAP_BATCH8_OK:
-            return out
-        import logging
 
-        logging.getLogger("mav_detection_tpu").warning(
-            "TPU vmap batch>=8 RAFT miscompile detected (non-finite vmap "
-            "output) — falling back to lax.map for this process; see "
-            "tools/vmap_miscompile_repro.py")
-    out = run_vmap() if _VMAP_BATCH8_OK else run_map()
-    if not all_finite(out):
+    def all_finite(out: jax.Array) -> bool:
+        # device-side reduction: one scalar crosses the host boundary
+        return bool(jnp.isfinite(out).all())
+
+    if _VMAP_BATCH8_OK is not False:
+        out = run_vmap()
+        if all_finite(out):
+            if _VMAP_BATCH8_OK is None:
+                _VMAP_BATCH8_OK = True
+            return out
+        out_map = run_map()
+        if all_finite(out_map):
+            import logging
+
+            _VMAP_BATCH8_OK = False
+            logging.getLogger("mav_detection_tpu").warning(
+                "TPU vmap batch>=8 RAFT miscompile detected (non-finite "
+                "vmap output, finite lax.map output) — using lax.map for "
+                "this process; see tools/vmap_miscompile_repro.py")
+            return out_map
         raise FloatingPointError(
             "RAFT produced non-finite flow on both vmap and lax.map paths — "
             "this is not the known batch>=8 vmap miscompile; check inputs")
+    out = run_map()
+    if not all_finite(out):
+        raise FloatingPointError(
+            "RAFT produced non-finite flow on the lax.map path; check inputs")
     return out
 
 
@@ -703,26 +727,20 @@ def raft_flow_video(frames: jax.Array, params=None,
     (``/root/reference/src/datasets/dataset.py:116-123``) on the product
     video path.
 
-    TPU batch>=8 vmap-miscompile containment: shares ``raft_flow_batch``'s
-    process-wide canary — the refinement vmap output is finiteness-checked
-    once at local batch >= 8 and falls back to ``lax.map`` over transitions
-    (encoders stay batched either way; they never miscompiled).
+    TPU batch>=8 vmap-miscompile containment: shares ``_contained_batch8``
+    with the pair path — every batch>=8 output is finiteness-checked (one
+    device scalar) and falls back to ``lax.map`` over transitions when the
+    vmapped VIDEO graph (a different composition than the pair graph)
+    miscompiles; bad inputs raise instead of poisoning the canary.
     """
     if params is None:
         from mav_detection_tpu.models import pretrained
 
         params = pretrained.load_raft_params()
         if params is None:
-            import logging
-
-            logging.getLogger("mav_detection_tpu").warning(
-                "no RAFT checkpoint found — using untrained weights; run "
-                "`python -m mav_detection_tpu.cli.train --model raft`")
-            key = ("default", (frames.shape[1] + (-frames.shape[1]) % 8,
-                               frames.shape[2] + (-frames.shape[2]) % 8))
-            if key not in _RAFT_CACHE:
-                _, _RAFT_CACHE[key] = create_raft(image_hw=key[1])
-            params = _RAFT_CACHE[key]
+            params = _default_params(
+                (frames.shape[1] + (-frames.shape[1]) % 8,
+                 frames.shape[2] + (-frames.shape[2]) % 8), config)
     n, h, w = frames.shape[:3]
     if frames.ndim == 3:
         frames = frames[..., None]
@@ -734,21 +752,10 @@ def raft_flow_video(frames: jax.Array, params=None,
         frames = jnp.pad(frames, ((0, 0), (0, ph), (0, pw), (0, 0)),
                          mode="edge")
 
-    global _VMAP_BATCH8_OK
-    use_map = (jax.default_backend() == "tpu" and n - 1 >= 8
-               and _VMAP_BATCH8_OK is False)
-    out = _raft_video_apply(params, frames, iters, config, use_map)
-    if (jax.default_backend() == "tpu" and n - 1 >= 8
-            and _VMAP_BATCH8_OK is None):
-        _VMAP_BATCH8_OK = bool(jnp.isfinite(out).all())
-        if not _VMAP_BATCH8_OK:
-            import logging
-
-            logging.getLogger("mav_detection_tpu").warning(
-                "TPU vmap batch>=8 RAFT miscompile detected on the video "
-                "path — falling back to lax.map for this process; see "
-                "tools/vmap_miscompile_repro.py")
-            out = _raft_video_apply(params, frames, iters, config, True)
+    out = _contained_batch8(
+        lambda: _raft_video_apply(params, frames, iters, config, False),
+        lambda: _raft_video_apply(params, frames, iters, config, True),
+        n - 1)
     return out[:, :h, :w]
 
 

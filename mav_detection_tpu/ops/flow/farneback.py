@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -673,23 +673,41 @@ def _farneback_hwb(prev: jax.Array, curr: jax.Array,
             flow = jnp.transpose(flow_cf, (2, 3, 0, 1))
             continue
 
-        # Jacobi-style iteration: solve everywhere, then refit everywhere.
-        # The oracle implementation does a row-sequential Gauss-Seidel sweep
-        # (updated matrices feed later rows within one pass), which converges
-        # in fewer passes but serializes rows — a poor fit for a vector unit.
-        # Both schemes share the same fixed point; at the reference's 10
-        # iterations the fields agree to <0.01 px EPE.
-        if params.fast:
-            um_iters = {0, 1, 2, 4, 7} & set(range(params.iterations - 1))
-        else:
-            um_iters = set(range(params.iterations - 1))
-        M = _update_matrices(R0, R1, flow, border, params.warp, params.max_shift)
-        for it in range(params.iterations):
-            flow = _solve_flow(M, params.winsize, params.precision)
-            if it in um_iters:
-                M = _update_matrices(R0, R1, flow, border, params.warp,
-                                     params.max_shift)
+        flow = _jacobi_level(R0, R1, flow, border, params)
 
+    return flow
+
+
+def _refit_schedule(params: "FarnebackParams") -> set:
+    """Iterations after which the normal-equation matrices are refit.
+    ``fast`` thins the schedule (PERF.md: the warp dominates; halving refits
+    costs ~0.003 px EPE vs the oracle)."""
+    if params.fast:
+        return {0, 1, 2, 4, 7} & set(range(params.iterations - 1))
+    return set(range(params.iterations - 1))
+
+
+def _jacobi_level(R0: jax.Array, R1: jax.Array, flow: jax.Array,
+                  border: jax.Array, params: "FarnebackParams",
+                  warp: Optional[str] = None) -> jax.Array:
+    """One pyramid level's iterate/refit loop (XLA warp paths).
+
+    Jacobi-style iteration: solve everywhere, then refit everywhere. The
+    oracle implementation does a row-sequential Gauss-Seidel sweep (updated
+    matrices feed later rows within one pass), which converges in fewer
+    passes but serializes rows — a poor fit for a vector unit. Both schemes
+    share the same fixed point; at the reference's 10 iterations the fields
+    agree to <0.01 px EPE. Shared with the row-sharded spatial engine's
+    replicated coarse levels (parallel/spatial.py) so the refit schedule
+    cannot drift between them."""
+    warp = warp or params.warp
+    um_iters = _refit_schedule(params)
+    M = _update_matrices(R0, R1, flow, border, warp, params.max_shift)
+    for it in range(params.iterations):
+        flow = _solve_flow(M, params.winsize, params.precision)
+        if it in um_iters:
+            M = _update_matrices(R0, R1, flow, border, warp,
+                                 params.max_shift)
     return flow
 
 

@@ -48,8 +48,10 @@ from mav_detection_tpu.ops.flow.farneback import (
     FarnebackParams,
     _border_scale_map,
     _gaussian_blur,
+    _jacobi_level,
     _poly_exp,
     _pyramid_scales,
+    _refit_schedule,
     _resize_linear,
     _solve_flow,
     _update_matrices,
@@ -62,26 +64,15 @@ SPATIAL_PARAMS = FarnebackParams(warp="separable", levels=2, pyr_scale=0.5,
                                  iterations=6, max_shift=8)
 
 
-def _um_schedule(params: FarnebackParams) -> set:
-    if params.fast:
-        return {0, 1, 2, 4, 7} & set(range(params.iterations - 1))
-    return set(range(params.iterations - 1))
-
-
 def _level_replicated(i0: jax.Array, i1: jax.Array, flow: jax.Array,
                       border: jax.Array, params: FarnebackParams) -> jax.Array:
     """One pyramid level of the plain Jacobi loop (identical on every
-    device — no communication)."""
+    device — no communication). Shares the solver's ``_jacobi_level`` so the
+    refit schedule cannot drift from the unsharded path this engine is gated
+    against."""
     R0 = _poly_exp(i0, params.poly_n, params.poly_sigma, params.precision)
     R1 = _poly_exp(i1, params.poly_n, params.poly_sigma, params.precision)
-    um_iters = _um_schedule(params)
-    M = _update_matrices(R0, R1, flow, border, "separable", params.max_shift)
-    for it in range(params.iterations):
-        flow = _solve_flow(M, params.winsize, params.precision)
-        if it in um_iters:
-            M = _update_matrices(R0, R1, flow, border, "separable",
-                                 params.max_shift)
-    return flow
+    return _jacobi_level(R0, R1, flow, border, params, warp="separable")
 
 
 def _level_sharded(i0: jax.Array, i1: jax.Array, flow: jax.Array,
@@ -142,7 +133,7 @@ def _level_sharded(i0: jax.Array, i1: jax.Array, flow: jax.Array,
                            sl[hl + fh_m - 1][None], sl)
             return sl
 
-        um_iters = _um_schedule(params)
+        um_iters = _refit_schedule(params)
         M = refit(flow_l)
         fl = flow_l
         for it in range(params.iterations):

@@ -290,22 +290,23 @@ class Processor:
     def _flow_spatial_pairs(self, prevs: jax.Array, currs: jax.Array):
         """``--engine spatial``: each transition's Farneback solve row-sharded
         over the mesh (parallel/spatial.py) — per-frame LATENCY scales ~1/P
-        at high resolutions instead of only batch throughput. Pads rows to a
-        multiple of the mesh size and crops the flow back."""
+        at high resolutions instead of only batch throughput. Indivisible
+        frame heights fall back to the unsharded batched solver: edge-padding
+        rows would displace the 5-px border down-weight ramp off the true
+        bottom edge and silently change near-border flow."""
         from mav_detection_tpu.parallel import farneback_flow_spatial
 
         n_dev = self.mesh.devices.size
         h = prevs.shape[1]
-        pad = (-h) % n_dev
-        out = []
-        for j in range(prevs.shape[0]):
-            p, c = prevs[j], currs[j]
-            if pad:
-                p = jnp.pad(p, ((0, pad), (0, 0)), mode="edge")
-                c = jnp.pad(c, ((0, pad), (0, 0)), mode="edge")
-            out.append(farneback_flow_spatial(
-                p, c, self._farneback, self.mesh)[:h])
-        return jnp.stack(out)
+        if h % n_dev:
+            self.logger.warning(
+                f"--engine spatial: frame height {h} does not divide by the "
+                f"{n_dev}-device mesh — using the unsharded batched solver")
+            return farneback_flow_batch(prevs, currs, self._farneback)
+        return jnp.stack([
+            farneback_flow_spatial(prevs[j], currs[j], self._farneback,
+                                   self.mesh)
+            for j in range(prevs.shape[0])])
 
     def _flow_batch(self, indices: List[int]) -> np.ndarray:
         """Dense flow for frame pairs (i, i+1) for each i in indices."""

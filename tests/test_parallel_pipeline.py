@@ -211,3 +211,23 @@ class TestSpatialRAFT:
         diff = np.abs(sp - ref)
         assert diff.max() < 0.05, f"max diff {diff.max()}"
         assert diff.mean() < 0.01
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+class TestSpatialFallbacks:
+    def test_indivisible_height_falls_back_to_batch(self):
+        """Heights that don't divide by the mesh use the unsharded solver
+        (edge-padding would displace the border down-weight ramp)."""
+        import jax.numpy as jnp
+
+        config = RunConfig(logger=logging.getLogger("test"),
+                           dataset="synthetic", mode="FLOW_FOE_CLUSTERING",
+                           flow_source="FARNEBACK", devices=8,
+                           engine="spatial", headless=True)
+        proc = Processor(config)
+        rng = np.random.default_rng(0)
+        prevs = jnp.asarray(rng.random((2, 190, 64)) * 255, jnp.float32)
+        currs = jnp.asarray(rng.random((2, 190, 64)) * 255, jnp.float32)
+        flow = np.asarray(proc._flow_spatial_pairs(prevs, currs))
+        assert flow.shape == (2, 190, 64, 2)
+        assert np.isfinite(flow).all()

@@ -112,6 +112,7 @@ class Dataset:
         self.img_path = f"{self.seq_path}{img_dir}"
         self.seg_path = f"{self.seq_path}/segmentations"
         self.depth_path = f"{self.seq_path}/depths"
+        self.depth_vis_path = f"{self.seq_path}/depth-vis"
         self.gt_of_path = f"{self.seq_path}/optical-flow"
         self.gt_of_vis_path = f"{self.seq_path}/optical-flow-vis"
         self.ann_path = f"{self.seq_path}/annotation"

@@ -22,6 +22,7 @@ from mav_detection_tpu.data.dataset import (
     create_if_not_exists,
     imread,
     imwrite,
+    read_pfm,
     sorted_glob,
 )
 from mav_detection_tpu.ops.image.boxes import get_simple_bounding_box
@@ -110,6 +111,33 @@ class SimDataset(Dataset):
             img_size = np.array([img.shape[1], img.shape[0]])
             with open(f"{self.ann_path}/image_{idx}.txt", "w") as f:
                 f.write(rect.to_yolo(img_size))
+
+    def create_depth_visualisation(self) -> None:
+        """Colormapped depth PNGs under ``depth-vis/`` (reference
+        ``sim_data.py:88-98``): depth normalized to its per-frame max, scaled
+        by the 5x sky-distance factor so everything nearer than 1/5 of the
+        far plane uses the full color range, capped at 255, jet-mapped.
+
+        The reference's ``np.clip(0, 255, depth_img)`` has its arguments in
+        positional (a, a_min, a_max) order, which evaluates to
+        ``min(depth_img, 255)`` — identical to a proper clip for the
+        non-negative depths AirSim produces, so we clip conventionally.
+        Idempotent: skips frames whose PNG already exists.
+        """
+        create_if_not_exists(self.depth_vis_path)
+        sky_distance_factor = 5.0
+        from mav_detection_tpu.ops.image import apply_colormap
+
+        for i, pfm_path in enumerate(
+                sorted_glob(f"{self.depth_path}/image_*.pfm")):
+            out_path = f"{self.depth_vis_path}/image_{i:05d}.png"
+            if os.path.exists(out_path):
+                continue
+            depth = read_pfm(pfm_path).astype(np.float32)
+            peak = float(np.max(depth)) if depth.size else 1.0
+            scaled = depth / (peak or 1.0) * 255.0 * sky_distance_factor
+            depth_u8 = np.clip(scaled, 0.0, 255.0).astype(np.uint8)
+            imwrite(out_path, apply_colormap(depth_u8))
 
     def create_ground_truth_optical_flow(self) -> None:
         from mav_detection_tpu.data.airsim_flow import write_sequence_gt_flow

@@ -139,6 +139,34 @@ class TestCollectToValidateLoop:
         seq_dir = collector.get_base_dir(collector.configs[0])
         return root, os.path.relpath(seq_dir, root)
 
+    def test_depth_visualisation(self, collected, monkeypatch):
+        """Parity with reference ``sim_data.py:88-98``: per-frame max
+        normalization, 5x sky factor, cap at 255, jet colormap, image_%05d
+        naming — plus idempotence (skip-if-exists, like every other
+        generated artifact in this package)."""
+        root, seq = collected
+        monkeypatch.setenv("SIMDATA_PATH", root)
+
+        from mav_detection_tpu.data.dataset import imread, read_pfm
+        from mav_detection_tpu.data.sim_data import SimDataset
+        from mav_detection_tpu.ops.image import apply_colormap
+
+        ds = SimDataset(sequence=seq)
+        ds.create_depth_visualisation()
+        pngs = sorted(glob.glob(f"{ds.depth_vis_path}/image_*.png"))
+        pfms = sorted(glob.glob(f"{ds.depth_path}/image_*.pfm"))
+        assert len(pngs) == len(pfms) > 0
+        assert os.path.basename(pngs[0]) == "image_00000.png"
+
+        depth = read_pfm(pfms[0]).astype(np.float32)
+        expected = apply_colormap(
+            np.clip(depth / depth.max() * 255.0 * 5.0, 0, 255).astype(np.uint8))
+        np.testing.assert_array_equal(imread(pngs[0]), expected)
+
+        mtime = os.path.getmtime(pngs[0])
+        ds.create_depth_visualisation()
+        assert os.path.getmtime(pngs[0]) == mtime
+
     def test_full_loop(self, collected, monkeypatch):
         root, seq = collected
         monkeypatch.setenv("SIMDATA_PATH", root)

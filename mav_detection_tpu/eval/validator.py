@@ -84,8 +84,9 @@ class Validator:
         emit ``ious.png`` + summary stats (reference
         ``validator.py:95-118,154-161``)."""
         if os.environ.get("YOLO_INFERENCE_HOST"):
-            src = self._nn_input_media()
-            raw = self.get_inference(src, src.replace(".npz", "-out.npz"))
+            src = self._nn_input_media(as_video=not self._server_accepts_npz())
+            base, ext = os.path.splitext(src)
+            raw = self.get_inference(src, f"{base}-out{ext}")
         else:
             raw = self.run_local_inference(self.dataset)
         detections = self.parse_frames(raw)
@@ -121,10 +122,33 @@ class Validator:
             "detection_rate": float(detected.mean()) if iou_arr.size else None,
         }
 
-    def _nn_input_media(self) -> str:
-        """Build (idempotently) the npz of *mode-appropriate* inference
-        imagery for the remote server — the same ``mode_image_host`` renders
-        local inference consumes, over all N frames. The reference posts a
+    def _server_accepts_npz(self) -> bool:
+        """Negotiate the upload container with the inference host.
+
+        The in-repo server (:mod:`mav_detection_tpu.serve`) advertises
+        ``"media": ["npz", "video"]`` in ``GET /config``; a reference-era
+        YOLOv4 sidecar (``/root/reference/src/validator.py:75-83``) has no
+        such field and only decodes video, so it gets an mp4. Override with
+        ``MAVTPU_NN_MEDIA=npz|video``; unreachable hosts default to video
+        (the conservative, reference-compatible container — the POST will
+        surface the real connection error)."""
+        forced = os.environ.get("MAVTPU_NN_MEDIA", "").lower()
+        if forced in ("npz", "video"):
+            return forced == "npz"
+        import requests
+
+        try:
+            cfg = requests.get(f"{self.host}/config", timeout=10).json()
+        except Exception:
+            return False
+        return "npz" in cfg.get("media", ())
+
+    def _nn_input_media(self, as_video: bool = False) -> str:
+        """Build (idempotently) the *mode-appropriate* inference imagery for
+        the remote server — the same ``mode_image_host`` renders local
+        inference consumes, over all N frames — as an npz stack (hermetic
+        loop) or an mp4 (``as_video``, for reference-era sidecars; cv2 mp4v
+        like the reference's dataset-prep videos). The reference posts a
         video of the mode imagery produced at dataset-prep time
         (``processor.py:122-131``); posting the detector's own ``processed/``
         overlay frames would leak its output into the NN input and starve
@@ -132,15 +156,10 @@ class Validator:
         import tempfile
 
         base = self.dataset.seq_path or tempfile.mkdtemp(prefix="nn-input-")
-        path = os.path.join(base,
-                            f"nn-input-{self.config.mode.name.lower()}.npz")
-        if os.path.exists(path):
-            try:  # a truncated/corrupt cache means rebuild, not crash
-                with np.load(path) as z:
-                    if len(z["frames"]) == self.dataset.N:
-                        return path
-            except Exception:
-                pass
+        stem = os.path.join(base, f"nn-input-{self.config.mode.name.lower()}")
+        path = stem + (".mp4" if as_video else ".npz")
+        if os.path.exists(path) and self._media_cache_valid(path, as_video):
+            return path
         frames = []
         for i in range(self.dataset.N):
             img = self._mode_image(self.dataset, i)
@@ -150,8 +169,45 @@ class Validator:
                     "validation — refusing to post a short stack (box keys "
                     "are positional)")
             frames.append(np.asarray(img, np.uint8))
-        np.savez_compressed(path, frames=np.stack(frames))
+        if as_video:
+            self._write_mp4(path, frames)
+        else:
+            np.savez_compressed(path, frames=np.stack(frames))
         return path
+
+    def _media_cache_valid(self, path: str, as_video: bool) -> bool:
+        try:  # a truncated/corrupt cache means rebuild, not crash
+            if as_video:
+                import cv2
+
+                cap = cv2.VideoCapture(path)
+                n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+                cap.release()
+                return n == self.dataset.N
+            with np.load(path) as z:
+                return len(z["frames"]) == self.dataset.N
+        except Exception:
+            return False
+
+    @staticmethod
+    def _write_mp4(path: str, frames: List[np.ndarray], fps: int = 30) -> None:
+        """Streaming cv2 mp4v encode (the opencv wheel bundles the codec)."""
+        import cv2
+
+        h, w = frames[0].shape[:2]
+        writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"),
+                                 fps, (w, h))
+        if not writer.isOpened():
+            raise RuntimeError(
+                "cv2 has no mp4 encoder on this host; set "
+                "MAVTPU_NN_MEDIA=npz if the inference server accepts npz")
+        try:
+            for f in frames:
+                if f.ndim == 2:
+                    f = np.repeat(f[..., None], 3, axis=-1)
+                writer.write(np.ascontiguousarray(f[..., :3]))
+        finally:
+            writer.release()
 
     def run_local_inference(self, dataset,
                             score_threshold: float = 0.5) -> Dict[str, List[str]]:

@@ -10,9 +10,12 @@ by the on-device TinyYOLO head, so the existing client
 our own stack — detection can run on a TPU host while validation runs
 anywhere:
 
-  GET  /config              -> {"start_time": <server start epoch>}
+  GET  /config              -> {"start_time": <server start epoch>,
+                                "media": ["npz", "video"]}
                                (the client keys its content-hash cache on
-                               this, validator.py:66-69)
+                               start_time, validator.py:66-69; "media" lets
+                               it negotiate the upload container — absent on
+                               a reference-era sidecar, which gets mp4)
   POST /predict_video       -> multipart field ``video``; query param
                                ``use_default_weights`` selects the RGB
                                fallback checkpoint; responds with the
@@ -227,7 +230,11 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self) -> None:
         path = urlparse(self.path).path
         if path == "/config":
-            self._json({"start_time": self.server.start_time})
+            # "media" advertises container support; a reference-era YOLOv4
+            # sidecar returns only start_time, and the validator then posts
+            # mp4 as that server expects (validator.py:75-83 in the ref)
+            self._json({"start_time": self.server.start_time,
+                        "media": ["npz", "video"]})
         elif path == "/predict_video_boxes":
             digest = parse_qs(urlparse(self.path).query).get("hash", [None])[0]
             # snapshot under the lock, write to the socket OUTSIDE it — a

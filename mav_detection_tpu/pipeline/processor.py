@@ -262,19 +262,12 @@ class Processor:
         if src == FlowSource.RAFT and "frames_rgb" in staged:
             # contiguous transitions: shared per-frame encoding (each unique
             # frame through fnet once instead of twice — raft_flow_video)
-            from mav_detection_tpu.models.raft import (
-                check_flow_saturation,
-                raft_flow_video,
-            )
+            from mav_detection_tpu.models.raft import raft_flow_video_auto
 
-            flow = np.asarray(raft_flow_video(jnp.asarray(staged["frames_rgb"])))
-            check_flow_saturation(flow)
-            return flow
+            # saturated coverage auto-escalates and re-runs (VERDICT r3 #5)
+            return raft_flow_video_auto(jnp.asarray(staged["frames_rgb"]))
         if src == FlowSource.RAFT and "prevs_rgb" in staged:
-            from mav_detection_tpu.models.raft import (
-                check_flow_saturation,
-                raft_flow_batch,
-            )
+            from mav_detection_tpu.models.raft import raft_flow_batch_auto
 
             prevs = jnp.asarray(staged["prevs_rgb"])
             currs = jnp.asarray(staged["currs_rgb"])
@@ -282,9 +275,8 @@ class Processor:
                 from mav_detection_tpu.parallel import shard_frame_batch
 
                 prevs, currs = shard_frame_batch(self.mesh, prevs, currs)
-            flow = np.asarray(raft_flow_batch(prevs, currs))
-            check_flow_saturation(flow)
-            return flow
+            # saturated coverage auto-escalates and re-runs (VERDICT r3 #5)
+            return raft_flow_batch_auto(prevs, currs)
         return self._flow_batch(idx)  # fallback (unstaged callers)
 
     def _flow_spatial_pairs(self, prevs: jax.Array, currs: jax.Array):
@@ -339,10 +331,7 @@ class Processor:
                 out.append(np.asarray(lk_dense_flow(g0, g1)))
             return np.stack(out)
         if src == FlowSource.RAFT:
-            from mav_detection_tpu.models.raft import (
-                check_flow_saturation,
-                raft_flow_batch,
-            )
+            from mav_detection_tpu.models.raft import raft_flow_batch_auto
 
             prevs = jnp.asarray(np.stack([ds.get_frame(i) for i in indices]))
             currs = jnp.asarray(np.stack([ds.get_frame(i + 1) for i in indices]))
@@ -352,11 +341,9 @@ class Processor:
                 # data-parallel net inference: batch axis sharded, params
                 # replicated (GSPMD partitions the vmapped apply)
                 prevs, currs = shard_frame_batch(self.mesh, prevs, currs)
-            flow = np.asarray(raft_flow_batch(prevs, currs))
-            # warn when motion approaches the local-volume coverage cap
-            # (|flow| <= 16 px exact by default — ADVICE r2)
-            check_flow_saturation(flow)
-            return flow
+            # motion past the local-volume coverage cap (|flow| <= 16 px
+            # exact by default) auto-escalates and re-runs (VERDICT r3 #5)
+            return raft_flow_batch_auto(prevs, currs)
         raise ValueError(f"unsupported flow source {src}")
 
     def _open_flo_prefetcher(self, n_pairs: int) -> None:

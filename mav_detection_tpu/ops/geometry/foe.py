@@ -125,29 +125,48 @@ def get_foe_dense(
     return foe_ransac(pts, valid, ransac_threshold)
 
 
+def _partner_lines(
+    cur: jax.Array, d: jax.Array, valid: jax.Array,
+    key: Optional[jax.Array],
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Pick one partner motion line per track for intersection.
+
+    The reference pairs each line with an iid-uniform random line — including
+    possibly itself, which intersects as parallel and is dropped
+    (``focus_of_expansion.py:142-145``). With a ``key`` we use a PRNG
+    *permutation*: same marginal (uniform partner), no partner collisions, and
+    fixed points degrade exactly like the reference's self-picks (parallel ->
+    invalid). Without a key the pairing is the deterministic rolled
+    derangement (reproducible pipelines and tests).
+    """
+    if key is None:
+        idx = jnp.roll(jnp.arange(cur.shape[0]), 1)
+    else:
+        idx = jax.random.permutation(key, cur.shape[0])
+    return cur[idx], d[idx], valid[idx]
+
+
 @jax.jit
 def get_foe_sparse(points_old: jax.Array, points_new: jax.Array,
                    valid: jax.Array,
-                   ransac_threshold: float = RANSAC_THRESHOLD) -> jax.Array:
+                   ransac_threshold: float = RANSAC_THRESHOLD,
+                   key: Optional[jax.Array] = None) -> jax.Array:
     """Sparse-track FoE: intersect motion lines of tracked features.
 
     Device reformulation of the reference's LK-trace variant
     (``focus_of_expansion.py:88-148``): each valid track (old -> new) defines
-    a motion line; lines are paired with a rolled copy of themselves (the
-    reference pairs each line with a random other line), intersected, and the
-    same consensus vote picks the FoE. Fixed shapes; invalid tracks are
-    masked out rather than filtered.
+    a motion line; each line is paired with a partner line (random
+    permutation under ``key``, rolled derangement otherwise — see
+    ``_partner_lines``), intersected, and the same consensus vote picks the
+    FoE. Fixed shapes; invalid tracks are masked out rather than filtered.
     """
     d = points_new - points_old
     moving = valid & (jnp.linalg.norm(d, axis=-1) > 0.5)
-    # pair each line with its rolled neighbor (a fixed derangement); the
-    # partner must pass the SAME displacement gate — a near-stationary
+    # the partner must pass the SAME displacement gate — a near-stationary
     # partner line is noise-dominated and its intersection must not vote
-    # (get_foe_sparse_traced rolls the gated mask the same way)
-    p2 = jnp.roll(points_new, 1, axis=0)
-    d2 = jnp.roll(d, 1, axis=0)
+    p2, d2, m2 = _partner_lines(points_new, d, moving, key)
     pts, ok = line_intersections(points_new, -d, p2, -d2)
-    ok = ok & moving & jnp.roll(moving, 1, axis=0)
+    ok = ok & moving & m2
     pts = jnp.where(ok[..., None], pts, 0.0)
     return foe_ransac(pts, ok, ransac_threshold)
 
@@ -204,10 +223,12 @@ def trace_update(state: TraceState, points: jax.Array, valid: jax.Array,
 def get_foe_sparse_traced(state: TraceState,
                           rollback: int = TRACE_ROLLBACK,
                           ransac_threshold: float = RANSAC_THRESHOLD,
-                          min_baseline: float = 0.5) -> jax.Array:
+                          min_baseline: float = 0.5,
+                          key: Optional[jax.Array] = None) -> jax.Array:
     """Sparse FoE from trace history: per track, intersect the motion line
     (position ``min(rollback, age)`` frames ago -> current position) with a
-    rolled partner line, then the standard consensus vote."""
+    partner line (random permutation under ``key``, rolled otherwise), then
+    the standard consensus vote."""
     cap, n = state.alive.shape
     head = state.head
     cur = state.positions[head]                 # (N, 2)
@@ -224,9 +245,7 @@ def get_foe_sparse_traced(state: TraceState,
     valid = (cur_ok & old_ok & (rb > 0)
              & (jnp.linalg.norm(d, axis=-1) > min_baseline))
 
-    p2 = jnp.roll(cur, 1, axis=0)
-    d2 = jnp.roll(d, 1, axis=0)
-    v2 = jnp.roll(valid, 1, axis=0)
+    p2, d2, v2 = _partner_lines(cur, d, valid, key)
     pts, ok = line_intersections(cur, -d, p2, -d2)
     ok = ok & valid & v2
     pts = jnp.where(ok[..., None], pts, 0.0)

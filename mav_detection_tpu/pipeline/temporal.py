@@ -119,7 +119,11 @@ def detect_sequence_scan(
                                   curr_frame, max_corners=n_tracks)
         new_track = ~alive & pool.valid
         tstate = trace_update(tstate, pool.points, pool.valid, new_track)
-        foe_sparse = get_foe_sparse_traced(tstate)
+        # randomized partner pairing, decoupled from detect_frame_pair's
+        # consumption of k (reference pairs with a random line per frame,
+        # focus_of_expansion.py:142-145)
+        foe_sparse = get_foe_sparse_traced(
+            tstate, key=jax.random.fold_in(k, 0x0F0E))
         return (curr_frame, history, pool, tstate), (scalars, foe_sparse)
 
     f0 = frames[0].astype(jnp.float32)

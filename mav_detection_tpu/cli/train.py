@@ -97,14 +97,41 @@ def train_raft(steps: int = 4000, batch: int = 8,
                hw: Tuple[int, int] = (128, 160), iters: int = 8,
                peak_lr: float = 2.5e-4, chunk: int = 100, seed: int = 0,
                init_params=None, save_best_to: str = "",
-               drone_weight: float = 40.0, sin_blend: float = 0.6):
+               drone_weight: float = 40.0, sin_blend: float = 0.6,
+               devices: int = 0, config=None, use_selector: bool = True):
+    """``devices > 1`` runs the chunk scan data-parallel over a 1-D
+    ``data`` mesh (VERDICT r3 #4 / SURVEY §7 step 6): scene keys — and
+    therefore generation, the loss, and its grads — shard over the batch
+    axis; params/optimizer state are replicated and GSPMD inserts the psum
+    for the mean loss's gradient. Same shardings the driver's
+    ``__graft_entry__.dryrun_multichip`` train step validates.
+
+    ``config``/``use_selector`` exist for tests (tiny model, no holdout
+    eval); the product CLI always trains the full ``RAFTConfig``."""
     import optax
 
     from mav_detection_tpu.data.synthgen import generate_scene
     from mav_detection_tpu.models.raft import RAFTConfig, create_raft, raft_loss
 
+    # argument validation first — before any model/optimizer construction
+    # (optax's schedule would otherwise raise its own error for tiny steps
+    # ahead of the device checks)
+    mesh = key_sharding = None
+    if devices > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+        avail = jax.devices()
+        if devices > len(avail):
+            raise ValueError(
+                f"--devices {devices} > {len(avail)} available devices")
+        if batch % devices:
+            raise ValueError(
+                f"--batch {batch} must divide by --devices {devices}")
+        mesh = Mesh(np.asarray(avail[:devices]), ("data",))
+        key_sharding = NamedSharding(mesh, PartitionSpec("data"))
+
     h, w = hw
-    config = RAFTConfig()
+    config = config or RAFTConfig()
     model, params = create_raft(jax.random.PRNGKey(seed), config, image_hw=hw)
     if init_params is not None:
         params = init_params
@@ -114,6 +141,15 @@ def train_raft(steps: int = 4000, batch: int = 8,
     opt = optax.chain(optax.clip_by_global_norm(1.0),
                       optax.adamw(sched, weight_decay=1e-5))
     opt_state = opt.init(params)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(mesh, PartitionSpec())
+        params = jax.device_put(params, replicated)
+        opt_state = jax.device_put(opt_state, replicated)
+        logger.info(f"[raft] data-parallel over {devices} devices "
+                    f"(per-device batch {batch // devices})")
 
     def loss_fn(params, scenes):
         img1 = _gray3(scenes.img1)
@@ -138,8 +174,14 @@ def train_raft(steps: int = 4000, batch: int = 8,
         def body(carry, _):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
+            keys = jax.random.split(sub, batch)
+            if key_sharding is not None:
+                # batch-shard the PRNG keys: generation, loss, and grads all
+                # partition along the batch axis from this one constraint
+                # (params replicated -> GSPMD psums the mean-loss gradient)
+                keys = jax.lax.with_sharding_constraint(keys, key_sharding)
             scenes = jax.vmap(lambda k: generate_scene(k, h, w, sin_blend))(
-                jax.random.split(sub, batch))
+                keys)
             loss, grads = jax.value_and_grad(loss_fn)(params, scenes)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -195,7 +237,8 @@ def train_raft(steps: int = 4000, batch: int = 8,
     # well under ~80 steps. Keep chunks small and select sparsely.
     params, losses = _scan_chunks(run_chunk, params, opt_state,
                                   jax.random.PRNGKey(seed + 1), steps, chunk,
-                                  "raft", selector=selector,
+                                  "raft",
+                                  selector=selector if use_selector else None,
                                   select_every=10, save_best_to=save_best_to)
     return params, losses
 
@@ -518,6 +561,10 @@ def main(argv=None) -> None:
                         help="detection mode whose imagery TinyYOLO trains "
                         "on; the checkpoint ships as yolo_<mode>.msgpack "
                         "(reference: per-mode yolo_train_weights run-ids)")
+    parser.add_argument("--devices", type=int, default=0,
+                        help="data-parallel RAFT training over N devices "
+                             "(1-D data mesh; params replicated, grads "
+                             "psummed — VERDICT r3 #4)")
     parser.add_argument("--eval-only", action="store_true")
     parser.add_argument("--resume", action="store_true",
                         help="initialize from the existing checkpoint")
@@ -548,6 +595,7 @@ def main(argv=None) -> None:
                                    init_params=init,
                                    drone_weight=args.drone_weight,
                                    save_best_to=pretrained.checkpoint_path("raft"),
+                                   devices=args.devices,
                                    **kw)
             checkpoint.save_msgpack(pretrained.checkpoint_path("raft"), params)
         epe, depe = eval_raft(params)

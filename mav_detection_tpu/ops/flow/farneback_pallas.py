@@ -98,17 +98,21 @@ def _fused_iter_kernel_element(flow_ref, slab_ref, r0_ref, border_ref,
     of the flow (and no 2x+ stacked copies of the coefficient slabs) is
     materialized in HBM. Same math as the stacked kernel — parity-tested.
 
-    Flow block: (1, 2, rf, tw + 2P); slab/r0: (1, 5, rs, tw + 2P); border:
-    (rs, tw + 2P), where rf/rs are th + 2m / th + 2P rounded up to a
-    multiple of 8 (Mosaic's Element row-alignment rule) — the extra bottom
-    rows are dead and sliced off here (static slices). Row/col element
+    Flow block: (1, 2, rf, cwp); slab/r0: (1, 5, rs, cwp); border:
+    (rs, cwp), where rf/rs are th + 2m / th + 2P rounded up to a multiple
+    of 8 (Mosaic's Element row-alignment rule) and cwp is tw + 2P rounded
+    up to a multiple of 128 when the frame is column-tiled (Mosaic's lane
+    tiling; single-tile blocks keep the exact width, which Mosaic accepts
+    when it spans the whole padded array) — the extra bottom rows / right
+    cols are dead and sliced off here (static slices). Row/col element
     starts are band*th / tile*tw into arrays pre-padded by their halo."""
     fr = th + 2 * m             # exact flow plane rows
     sr = th + 2 * (S + 1 + m)   # exact slab/border plane rows
-    _iter_math(flow_ref[0, 0, :fr], flow_ref[0, 1, :fr],
-               [slab_ref[0, c, :sr] for c in range(5)],
-               [r0_ref[0, c, :sr] for c in range(5)],
-               border_ref[:sr], out_ref,
+    cw = tw + 2 * (S + 1 + m)   # exact plane cols
+    _iter_math(flow_ref[0, 0, :fr, :cw], flow_ref[0, 1, :fr, :cw],
+               [slab_ref[0, c, :sr, :cw] for c in range(5)],
+               [r0_ref[0, c, :sr, :cw] for c in range(5)],
+               border_ref[:sr, :cw], out_ref,
                th=th, tw=tw, H=H, W=W, S=S, m=m, inv_win2=inv_win2)
 
 
@@ -314,10 +318,11 @@ def farneback_iterate_pallas(
         (1, 2, th, tw), lambda i, j, t: (i, 0, j, t),
         memory_space=pltpu.VMEM)
 
-    if halo == "element" and nctiles > 1:
-        # Mosaic's block-shape rule lets unaligned block COLUMNS pass only
-        # when they equal the whole (padded) array width — i.e. one column
-        # tile. Wide frames keep the stacked layout.
+    if halo == "element" and nctiles > 1 and tw % 128:
+        # Multi-tile Element windows need PROVABLY lane-aligned column
+        # starts: t*tw is statically divisible by the 128-lane tiling only
+        # when tw is a multiple of 128 (the auto-tiler always is; an
+        # explicit unaligned tile_cols falls back to the stacked layout).
         halo = "stacked"
 
     if halo == "element":
@@ -328,37 +333,54 @@ def farneback_iterate_pallas(
         # unaligned Element rows are rejected at lowering), so blocks are
         # padded up to 8-aligned row counts with dead bottom rows — the
         # kernel wrapper slices refs back to exact sizes (all static).
+        # Column-tiled frames (VERDICT r3 #3) additionally need block
+        # WIDTHS on the 128-lane tiling: cwp rounds tw + 2P up to 128 with
+        # dead right columns (single tile keeps the exact width — Mosaic
+        # accepts an unaligned width that spans the whole padded array).
         rs = -(-(th + 2 * P) // 8) * 8   # slab/border block rows
         rf = -(-(th + 2 * m) // 8) * 8   # flow block rows
+        cw = tw + 2 * P                  # exact block cols
+        cwp = cw if nctiles == 1 else -(-cw // 128) * 128
+        # right pad so the last tile's (lane-aligned) window stays in
+        # bounds: window cols [t*tw .. t*tw + cwp) into an array whose
+        # content starts at col P; max end = (nctiles-1)*tw + cwp.
+        right = (nctiles - 1) * tw + cwp - P - W
 
-        def pad_plane(x, top, bottom, hc):
+        def pad_plane(x, top, bottom):
             pads = ([(0, 0)] * (x.ndim - 2)
-                    + [(top, bottom + Hp - H), (hc, hc + Wp - W)])
+                    + [(top, bottom + Hp - H), (P, right)])
             return jnp.pad(x, pads, mode="edge")
 
         # bottom pad so the last band's (8-aligned) window stays in bounds:
         # window rows [j*th .. j*th + rs) into an array whose content spans
         # [0 .. top + Hp); max end = (nbands-1)*th + rs = Hp - th + rs.
-        slab_e = pad_plane(R1cf, P, rs - th - P, P)
-        r0_e = pad_plane(R0cf, P, rs - th - P, P)
-        bor_e = pad_plane(border, P, rs - th - P, P)
+        slab_e = pad_plane(R1cf, P, rs - th - P)
+        r0_e = pad_plane(R0cf, P, rs - th - P)
+        bor_e = pad_plane(border, P, rs - th - P)
         kern_e = functools.partial(
             _fused_iter_kernel_element, th=th, tw=tw, H=H, W=W, S=S, m=m,
             inv_win2=1.0 / (winsize * winsize))
         # Mosaic: a spec's dims must be ALL Element or none — leading dims
         # wrap in Element(1)/Element(n) with element (not block) starts.
-        # Column start is the literal 0 (single tile — see the gate above):
-        # Mosaic must PROVE the lane tiling (128) divides the start index,
-        # which it cannot for a symbolic t*tw.
+        # Column start t*tw is statically 128-divisible (tw is 128-aligned
+        # whenever nctiles > 1 — gate above), so Mosaic's lane-tiling
+        # divisibility proof goes through. With a SINGLE tile the start must
+        # be the literal 0: Mosaic reasons about t*tw symbolically even when
+        # the grid pins t = 0, and an unaligned whole-width tw would fail
+        # the same proof.
+        if nctiles == 1:
+            col0 = lambda t: 0  # noqa: E731
+        else:
+            col0 = lambda t: t * tw  # noqa: E731
         bandspec_e = pl.BlockSpec(
-            (_Element(1), _Element(5), _Element(rs), _Element(tw + 2 * P)),
-            lambda i, j, t: (i, 0, j * th, 0), memory_space=pltpu.VMEM)
+            (_Element(1), _Element(5), _Element(rs), _Element(cwp)),
+            lambda i, j, t: (i, 0, j * th, col0(t)), memory_space=pltpu.VMEM)
         borspec_e = pl.BlockSpec(
-            (_Element(rs), _Element(tw + 2 * P)),
-            lambda i, j, t: (j * th, 0), memory_space=pltpu.VMEM)
+            (_Element(rs), _Element(cwp)),
+            lambda i, j, t: (j * th, col0(t)), memory_space=pltpu.VMEM)
         flowspec_e = pl.BlockSpec(
-            (_Element(1), _Element(2), _Element(rf), _Element(tw + 2 * P)),
-            lambda i, j, t: (i, 0, j * th, 0), memory_space=pltpu.VMEM)
+            (_Element(1), _Element(2), _Element(rf), _Element(cwp)),
+            lambda i, j, t: (i, 0, j * th, col0(t)), memory_space=pltpu.VMEM)
         call_e = pl.pallas_call(
             kern_e,
             out_shape=jax.ShapeDtypeStruct((b, 2, Hp, Wp), jnp.float32),
@@ -369,7 +391,7 @@ def farneback_iterate_pallas(
         )
         flow = flow0
         for _ in range(iterations):
-            flow = call_e(pad_plane(flow, m, rf - th - m, P), slab_e, r0_e,
+            flow = call_e(pad_plane(flow, m, rf - th - m), slab_e, r0_e,
                           bor_e)[:, :, :H, :W]
         return flow
 

@@ -144,6 +144,28 @@ class TestFusedIteration:
             np.testing.assert_array_equal(element, stacked,
                                           err_msg=f"extra={extra}")
 
+    def test_element_halo_multi_column_tile(self):
+        """VERDICT r3 #3: with 128-aligned tiles the element-halo layout
+        runs MULTI-tile (lane-aligned Element column starts t*tw, block
+        width rounded to the 128 tiling with dead right columns) and stays
+        bit-exact with stacked — including a ragged last tile. Hardware
+        parity lives in tools/wide_frame_check.py; this pins interpret-mode
+        semantics."""
+        H, W = 48, 320           # tile_cols=128 -> 3 tiles, last ragged (64)
+        prev8, curr8 = _scene(H, W, seed=17, tx=1.5, ty=-0.7)
+        p = jnp.asarray(prev8, jnp.float32)[..., None]
+        c = jnp.asarray(curr8, jnp.float32)[..., None]
+        R0 = jnp.transpose(_poly_exp(p, 8, 1.2), (2, 3, 0, 1))
+        R1 = jnp.transpose(_poly_exp(c, 8, 1.2), (2, 3, 0, 1))
+        border = _border_scale_map(H, W)
+        kw = dict(iterations=2, band_rows=16, max_shift=8, tile_cols=128,
+                  interpret=True)
+        stacked = np.asarray(farneback_iterate_pallas(
+            R0, R1, jnp.zeros((1, 2, H, W)), border, halo="stacked", **kw))
+        element = np.asarray(farneback_iterate_pallas(
+            R0, R1, jnp.zeros((1, 2, H, W)), border, halo="element", **kw))
+        np.testing.assert_array_equal(element, stacked)
+
     def test_wide_frame_auto_tiles(self):
         """W > 1024 auto-splits into column tiles and still matches the
         XLA separable path (the AirSim 1920-wide readiness guarantee)."""

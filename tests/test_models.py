@@ -288,6 +288,96 @@ class TestMemoryLightCorr:
         assert np.isfinite(np.asarray(flow)).all()
 
 
+class TestCoverageEscalation:
+    """VERDICT r3 #5: saturated banded-volume coverage auto-escalates and
+    re-runs the batch instead of keeping saturated flow — the reference's
+    FlowNet2 sidecar had no displacement cap
+    (``/root/reference/src/datasets/dataset.py:116-123``)."""
+
+    @staticmethod
+    def _clipping_run(true_px: float, calls: list):
+        """Emulates the coverage model: the estimate clips at the config's
+        exact lookup range, exact once coverage spans the true motion."""
+        from mav_detection_tpu.models.raft import flow_coverage_px
+
+        def run(cfg):
+            calls.append((cfg.max_flow_lookup, cfg.materialize_corr))
+            mag = min(true_px, flow_coverage_px(cfg))
+            u = mag / np.sqrt(2.0)
+            return np.full((2, 64, 80, 2), u, np.float32)
+
+        return run
+
+    def test_ladder_recovers_exact_flow_past_the_cap(self):
+        """24 px synthetic motion (> the 16 px default cap): the first run
+        saturates, the driver escalates to max_flow_lookup=4 (32 px exact
+        coverage), and the final flow is the exact motion — no manual
+        config."""
+        from mav_detection_tpu.models.raft import (
+            INFERENCE_CONFIG,
+            _flow_with_escalation,
+        )
+
+        true = 24.0
+        calls = []
+        flow = _flow_with_escalation(self._clipping_run(true, calls),
+                                     (64, 80), INFERENCE_CONFIG)
+        assert calls[0] == (2, False)          # the product default
+        # escalated at least once: a wider band or the materialized volume
+        assert calls[-1][0] >= 4 or calls[-1][1]
+        np.testing.assert_allclose(np.linalg.norm(flow[0, 0, 0]), true,
+                                   rtol=1e-5)
+
+    def test_ladder_exhausts_to_widest_estimate(self):
+        """Motion no representable config can cover: the ladder stops at its
+        last rung and keeps the widest-coverage estimate (log-warned), never
+        loops forever."""
+        from mav_detection_tpu.models.raft import (
+            INFERENCE_CONFIG,
+            _flow_with_escalation,
+        )
+
+        calls = []
+        flow = _flow_with_escalation(self._clipping_run(1e9, calls),
+                                     (64, 80), INFERENCE_CONFIG)
+        assert len(calls) == len(set(calls))   # every rung distinct: no loop
+        assert np.isfinite(flow).all()
+
+    def test_batch_auto_threads_config_and_escalates(self, monkeypatch):
+        """The public product entry point (what the Processor calls): the
+        monkeypatched inner batch inference sees the escalated configs and
+        the caller gets the exact post-escalation flow."""
+        import mav_detection_tpu.models.raft as raft_mod
+
+        true = 24.0
+        calls = []
+        inner = self._clipping_run(true, calls)
+        monkeypatch.setattr(
+            raft_mod, "raft_flow_batch",
+            lambda i1, i2, params, iters, cfg: jnp.asarray(inner(cfg)))
+        imgs = jnp.zeros((2, 64, 80, 3), jnp.float32)
+        flow = raft_mod.raft_flow_batch_auto(imgs, imgs)
+        assert len(calls) >= 2
+        np.testing.assert_allclose(np.linalg.norm(flow[0, 0, 0]), true,
+                                   rtol=1e-5)
+
+    def test_materialize_rung_when_band_outgrows_volume(self):
+        """On small frames the doubled band quickly rivals the frame size;
+        the ladder switches to the materialized all-pairs volume (unbounded
+        coverage) while it fits the HBM budget."""
+        from mav_detection_tpu.models.raft import (
+            INFERENCE_CONFIG,
+            _escalate_config,
+        )
+
+        cfg, seen = INFERENCE_CONFIG, []
+        while cfg is not None and len(seen) < 12:
+            seen.append((cfg.max_flow_lookup, cfg.materialize_corr))
+            cfg = _escalate_config(cfg, (128, 160))
+        assert seen[-1][1] is True             # ends materialized
+        assert seen == sorted(seen, key=lambda t: (t[1], t[0]))
+
+
 class TestRAFTVideo:
     def test_video_matches_pair_path(self):
         """raft_flow_video shares per-frame encodings across transitions;

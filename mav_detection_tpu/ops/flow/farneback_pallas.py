@@ -288,14 +288,20 @@ def farneback_iterate_pallas(
     th = -(-min(band_rows, H) // 8) * 8
     nbands = -(-H // th)
     Hp = nbands * th  # Pallas clamps (not masks) ragged blocks: pad instead
-    # Per-block VMEM scales with the padded plane (th + 2P) * (tw + 2P);
-    # calibrated on v5e HARDWARE (S=8, m=6, th=24: 54x990 planes exceeded the
-    # 16 MB scoped limit by 56 KB), so cap the plane at ~46k elements (~14 MB
-    # at the measured ~300 B/elem incl. double buffering and temporaries) and
-    # column-tile beyond it, 128-lane-aligned (ADVICE r2: auto tiles must be
-    # lane-aligned and the wide path must be validated on real TPU — it is,
-    # see tools/wide_frame_check.py + PERF.md "wide frames").
-    plane_budget = 46_000
+    # Per-block VMEM scales with the padded plane (th + 2P) * (tw + 2P)
+    # TIMES a per-element cost that grows with the live shift/select chain
+    # (2S+2 stages keep more temporaries in flight). Two v5e HARDWARE
+    # calibration points against the 16 MiB scoped-VMEM limit:
+    #   S=8,  th=24: 54x990 planes (53,460 elems) overflowed at 16.06 MiB
+    #                -> ~315 B/elem
+    #   S=16, th=16: 62x686 planes (42,532 elems) overflowed at 16.71 MiB
+    #                -> ~412 B/elem
+    # Linear model bytes/elem ~= 206 + 6.1*(2S+2); budget 15.5 MB keeps
+    # ~8-15% headroom. Column-tile beyond it, 128-lane-aligned (ADVICE r2:
+    # auto tiles must be lane-aligned and the wide path must be validated on
+    # real TPU — it is, see tools/wide_frame_check.py + PERF.md "wide
+    # frames").
+    plane_budget = int(15.5e6 / (206.0 + 6.1 * (2 * S + 2)))
     max_cols = max(plane_budget // (th + 2 * P) - 2 * P, 256)
     if tile_cols:
         tw = min(tile_cols, W)

@@ -18,6 +18,10 @@ import sys
 import numpy as np
 import pytest
 
+# e2e checkpoint gates over two full renderer families: the module-scoped
+# fixtures alone cost ~6 min on this box — slow tier by definition
+pytestmark = pytest.mark.slow
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from mav_detection_tpu.models import pretrained  # noqa: E402

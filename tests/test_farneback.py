@@ -102,6 +102,7 @@ class TestGrayConversion:
 
 
 class TestSeparableWarp:
+    @pytest.mark.slow
     def test_separable_matches_gather_mode(self):
         """The no-gather warp path must track the exact path within 0.01 px."""
         prev, curr = make_pair(blur=1.5, seed=11)
@@ -129,6 +130,7 @@ class TestSeparableWarp:
             FarnebackParams(warp="separable", max_shift=8)))
         assert np.isfinite(sep).all()
 
+    @pytest.mark.slow
     def test_auto_falls_back_to_gather_beyond_max_shift(self):
         """warp='auto' must stay ACCURATE (not just finite) when the motion
         exceeds the separable warp's coverage: the lax.cond falls back to the
@@ -150,6 +152,7 @@ class TestSeparableWarp:
         assert err_auto < 0.05          # auto == gather here
         assert err_sep > 5 * err_auto   # clamped separable visibly degrades
 
+    @pytest.mark.slow
     def test_auto_matches_separable_within_coverage(self):
         prev, curr = make_pair(blur=1.5, seed=15)  # small motion
         auto = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr),
@@ -158,6 +161,7 @@ class TestSeparableWarp:
                                         FarnebackParams(warp="separable")))
         assert np.linalg.norm(auto - sep, axis=-1).max() < 1e-4
 
+    @pytest.mark.slow
     def test_pyramid_required_for_large_nonuniform_motion(self):
         """cv2's ``levels`` counts EXTRA coarse layers (its levels=1 runs
         TWO layers — verified against cv2's own levels=0, which diverges

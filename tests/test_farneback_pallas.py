@@ -38,6 +38,7 @@ def _pallas_flow(prev8, curr8, iterations=10, band_rows=32):
 
 
 class TestFusedIteration:
+    @pytest.mark.slow
     def test_single_iteration_matches_xla_path(self):
         """One fused iteration == one XLA update_matrices + solve (to fp32
         noise); later iterations only amplify fp ordering differences."""
@@ -62,6 +63,7 @@ class TestFusedIteration:
         got = np.transpose(np.asarray(out)[0], (1, 2, 0))
         assert np.abs(got - ref).max() < 1e-4
 
+    @pytest.mark.slow
     def test_epe_vs_cv2_oracle(self):
         prev8, curr8 = _scene(96, 128)
         ref = cv2.calcOpticalFlowFarneback(prev8, curr8, None,
@@ -71,6 +73,7 @@ class TestFusedIteration:
         assert epe.mean() < 0.1            # BASELINE.json gate
         assert epe[8:-8, 8:-8].mean() < 0.02
 
+    @pytest.mark.slow
     def test_nondivisible_band_rows(self):
         """H=90 with band_rows=32 -> ragged last band must still be exact."""
         prev8, curr8 = _scene(90, 96, seed=3)
@@ -80,6 +83,7 @@ class TestFusedIteration:
             FarnebackParams(warp="separable", iterations=2)))
         assert np.abs(got - ref).max() < 1e-3
 
+    @pytest.mark.slow
     def test_batch_equals_single(self):
         """Batched channel-first run must equal per-frame runs."""
         scenes = [_scene(64, 96, seed=s, tx=1.0 + s, ty=0.5 * s)
@@ -102,6 +106,7 @@ class TestFusedIteration:
             np.testing.assert_allclose(np.asarray(out)[k],
                                        np.asarray(single)[0], atol=1e-4)
 
+    @pytest.mark.slow
     def test_column_tiling_matches_whole_width(self):
         """tile_cols splits (incl. a ragged last tile) must reproduce the
         whole-width kernel exactly — the P-column halo covers every slab
@@ -122,6 +127,7 @@ class TestFusedIteration:
             np.testing.assert_allclose(tiled, whole, atol=1e-5,
                                        err_msg=f"tile_cols={tile_cols}")
 
+    @pytest.mark.slow
     def test_element_halo_matches_stacked(self):
         """halo="element" (pl.Element windows into edge-padded planes — no
         per-iteration XLA restack) must be bit-exact with the stacked-halo
@@ -144,6 +150,7 @@ class TestFusedIteration:
             np.testing.assert_array_equal(element, stacked,
                                           err_msg=f"extra={extra}")
 
+    @pytest.mark.slow
     def test_element_halo_multi_column_tile(self):
         """VERDICT r3 #3: with 128-aligned tiles the element-halo layout
         runs MULTI-tile (lane-aligned Element column starts t*tw, block
@@ -178,6 +185,7 @@ class TestFusedIteration:
             FarnebackParams(warp="separable", iterations=2, levels=1)))
         assert np.abs(got - ref).max() < 1e-3
 
+    @pytest.mark.slow
     def test_via_farneback_flow_params(self):
         """warp='pallas' is reachable through the public solver API."""
         prev8, curr8 = _scene(64, 96, seed=5)
@@ -189,6 +197,7 @@ class TestFusedIteration:
             FarnebackParams(warp="separable", iterations=3)))
         assert np.abs(got - ref).max() < 1e-3
 
+    @pytest.mark.slow
     def test_batched_public_api(self):
         prev8a, curr8a = _scene(64, 96, seed=7)
         prev8b, curr8b = _scene(64, 96, seed=8, tx=-1.5, ty=2.0)
@@ -200,6 +209,7 @@ class TestFusedIteration:
             jnp.asarray(prev8a), jnp.asarray(curr8a), params))
         np.testing.assert_allclose(batch[0], one, atol=1e-4)
 
+    @pytest.mark.slow
     def test_batched_channel_first_pyramid(self):
         """The batched Pallas path runs the channel-first pipeline
         (``_farneback_cf`` with fused smooth+resize+poly matrices); a

@@ -160,6 +160,7 @@ class TestValidatorClient:
 
 
 class TestRunAllSweep:
+    @pytest.mark.slow
     def test_run_all_over_synthetic_sequences(self, tmp_path, monkeypatch):
         import argparse
 

@@ -36,6 +36,7 @@ class TestRAFT:
         ref = np.einsum("ijc,klc->ijkl", np.asarray(f1), np.asarray(f2)) / np.sqrt(8)
         np.testing.assert_allclose(corr, ref, rtol=1e-4)
 
+    @pytest.mark.slow
     def test_forward_shapes(self):
         model, params = create_raft(config=TINY, image_hw=(64, 96))
         img = jnp.zeros((64, 96, 3), jnp.float32)
@@ -44,6 +45,7 @@ class TestRAFT:
         assert flow.shape == (64, 96, 2)
         assert len(preds) == 2
 
+    @pytest.mark.slow
     def test_final_only_upsample_matches_full_path(self):
         """The inference fast path (upsample_all=False: convex-upsample only
         the last refinement iteration) must match the training path's final
@@ -62,6 +64,7 @@ class TestRAFT:
                                    np.asarray(flow_fast), atol=0.01)
         assert preds_fast.shape == (1, 64, 96, 2)
 
+    @pytest.mark.slow
     def test_zero_motion_small_flow(self):
         """Untrained but with identical inputs the correlation argmax is at
         zero displacement; flow magnitude must stay modest."""
@@ -71,6 +74,7 @@ class TestRAFT:
         flow = raft_flow(params, img, img, iters=2, config=TINY)
         assert np.isfinite(np.asarray(flow)).all()
 
+    @pytest.mark.slow
     def test_train_step_reduces_loss(self):
         import optax
 
@@ -102,6 +106,7 @@ class TestSkyUNet:
         assert mask.shape == (60, 90)
         assert mask.dtype == jnp.bool_
 
+    @pytest.mark.slow
     def test_loss_trains(self):
         import optax
 
@@ -151,6 +156,7 @@ class TestYOLO:
                                    score_threshold=0.5)
         assert int(np.asarray(boxes.valid).sum()) == 1
 
+    @pytest.mark.slow
     def test_loss_trains_on_synthetic_target(self):
         import optax
 
@@ -244,6 +250,7 @@ class TestMemoryLightCorr:
         diff = np.abs(np.asarray(mat) - np.asarray(otf))
         assert np.median(diff) < 0.1
 
+    @pytest.mark.slow
     def test_volume_lookup_matches_otf_exactly(self):
         """The banded local-correlation volumes reproduce lookup_corr_otf
         bit-near-exactly for |flow| within coverage — the dot product
@@ -275,6 +282,7 @@ class TestMemoryLightCorr:
                                        rtol=1e-4, atol=1e-5,
                                        err_msg=f"flow scale {scale}")
 
+    @pytest.mark.slow
     def test_full_model_memory_light_mode(self):
         from mav_detection_tpu.models.raft import RAFT, RAFTConfig, create_raft
 
@@ -379,6 +387,7 @@ class TestCoverageEscalation:
 
 
 class TestRAFTVideo:
+    @pytest.mark.slow
     def test_video_matches_pair_path(self):
         """raft_flow_video shares per-frame encodings across transitions;
         the encoders are per-frame pure functions applied from the same
@@ -404,6 +413,7 @@ class TestRAFTVideo:
             assert diff.max() < 0.05, f"transition {i}: max diff {diff.max()}"
             assert diff.mean() < 0.01
 
+    @pytest.mark.slow
     def test_video_grayscale_and_map_path(self):
         from mav_detection_tpu.models.raft import (_raft_video_apply,
                                                    raft_flow_video)

@@ -56,6 +56,7 @@ class TestShardedProcessor:
         assert len(res) == 5
         assert proc.batch_size == 8  # raised to the mesh size
 
+    @pytest.mark.slow
     def test_raft_flow_source_shards_over_mesh(self):
         """--flow-source RAFT with --devices: net inference runs data-
         parallel (batch sharded, params replicated) and matches the
@@ -104,6 +105,7 @@ class TestSpatialFarneback:
             jnp.asarray(ys + dy)))[..., 0]
         return tex.astype(np.float32), curr.astype(np.float32)
 
+    @pytest.mark.slow
     def test_matches_unsharded(self):
         from mav_detection_tpu.ops.flow import FarnebackParams, farneback_flow
         from mav_detection_tpu.parallel import farneback_flow_spatial, make_mesh
@@ -155,6 +157,7 @@ class TestSpatialEngine:
         finally:
             proc.release()
 
+    @pytest.mark.slow
     def test_spatial_matches_batch(self):
         res_b = self._run("batch", devices=0)
         res_s = self._run("spatial", devices=8)
@@ -183,6 +186,7 @@ class TestSpatialEngine:
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 class TestSpatialRAFT:
+    @pytest.mark.slow
     def test_row_sharded_inference_matches_unsharded(self):
         """raft_flow_spatial: GSPMD partitions the inference graph along the
         sharded row axis (conv halo exchange + per-row volume matmuls);
@@ -215,6 +219,7 @@ class TestSpatialRAFT:
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 class TestSpatialFallbacks:
+    @pytest.mark.slow
     def test_indivisible_height_falls_back_to_batch(self):
         """Heights that don't divide by the mesh use the unsharded solver
         (edge-padding would displace the border down-weight ramp)."""

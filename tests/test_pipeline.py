@@ -129,6 +129,7 @@ class TestDetectionStep:
                                    np.asarray(single0.foe), atol=1e-4)
         np.testing.assert_allclose(float(batch.tpr[0]), float(single0.tpr), atol=1e-6)
 
+    @pytest.mark.slow
     def test_map_batch_mode_matches_vmap(self, synthetic):
         """batch_mode='map' (the single-device product default) must agree
         with the vmapped path used under a GSPMD mesh."""
@@ -247,6 +248,7 @@ class TestParallel:
 
 
 class TestGraftEntry:
+    @pytest.mark.slow
     def test_entry_compiles_and_runs(self):
         import sys
 
@@ -258,6 +260,7 @@ class TestGraftEntry:
         foe = np.asarray(out[0])
         assert foe.shape == (2,) and np.isfinite(foe).all()
 
+    @pytest.mark.slow
     def test_dryrun_multichip(self):
         import __graft_entry__
 
@@ -306,6 +309,7 @@ class TestHomographyBranch:
                                  / "processed" / "*.png"))
         assert len(mosaics) == SMALL.n_frames - 1
 
+    @pytest.mark.slow
     def test_homography_sparse_of(self, tmp_path, monkeypatch):
         """--use-sparse-of: LK feature tracks replace the sampled-flow
         correspondences (reference detector.py:130-136) and the branch still
@@ -440,6 +444,7 @@ class TestRAFTVideoStaging:
     """Product RAFT path: contiguous staged batches share per-frame encoding
     (raft_flow_video) and must match the pair-batch path numerically."""
 
+    @pytest.mark.slow
     def test_staged_video_matches_pair_batch(self, synthetic, tmp_path,
                                              monkeypatch):
         monkeypatch.setenv("SYNTHETIC_PATH", str(tmp_path))
@@ -476,6 +481,7 @@ class TestFarnebackSharedStaging:
     device slices prevs/currs out of one upload. Flow must match the
     pair-staged path exactly (same arrays, different transport)."""
 
+    @pytest.mark.slow
     def test_grays_staging_matches_flow_batch(self, synthetic, tmp_path,
                                               monkeypatch):
         monkeypatch.setenv("SYNTHETIC_PATH", str(tmp_path))
@@ -491,6 +497,7 @@ class TestFarnebackSharedStaging:
         pairs = np.asarray(proc._flow_batch(idx))
         np.testing.assert_allclose(shared, pairs, atol=1e-5)
 
+    @pytest.mark.slow
     def test_lk_grays_staging(self, synthetic, tmp_path, monkeypatch):
         monkeypatch.setenv("SYNTHETIC_PATH", str(tmp_path))
         cfg = RunConfig(dataset="synthetic", mode="FLOW_FOE_CLUSTERING",

@@ -43,6 +43,7 @@ class TestServeProtocol:
         cfg = requests.get(f"{server_url}/config").json()
         assert "start_time" in cfg and float(cfg["start_time"]) > 0
 
+    @pytest.mark.slow
     def test_client_roundtrip_matches_direct_inference(
             self, server_url, frames, tmp_path):
         """The shipped HTTP client against our server returns the same box

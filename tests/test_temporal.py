@@ -61,6 +61,7 @@ class TestSequenceScan:
         # the history holds real flow (nonzero), index wrapped correctly
         assert float(jnp.abs(history.buffer).max()) > 0.1
 
+    @pytest.mark.slow
     def test_scan_sparse_foe_traces(self, seq):
         """track_sparse=True: the scan carries the LK FeaturePool + trace
         ring and emits a per-transition trace-based sparse FoE (reference
@@ -85,6 +86,7 @@ class TestSequenceScan:
                                    np.asarray(scal_plain.foe), atol=1e-4)
 
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    @pytest.mark.slow
     def test_chunked_matches_scan(self, seq):
         """Chunked sharding over 8 devices must reproduce the serial scan's
         transitions exactly (same flow pairs, same keys modulo sampling —
@@ -133,6 +135,7 @@ class TestProcessorScanEngine:
             foe=(70.0, 45.0)))
         return proc
 
+    @pytest.mark.slow
     def test_scan_engine_end_to_end(self):
         proc = self._make_proc("scan")
         results = proc.run_detection()
@@ -144,6 +147,7 @@ class TestProcessorScanEngine:
         assert all(np.isfinite(r.tpr_fixed) for r in results.values())
 
     @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+    @pytest.mark.slow
     def test_chunked_engine_pads_and_runs(self):
         # n_frames=7 is NOT divisible by 8 devices: the engine pads by
         # repeating the last frame and trims the extra transitions

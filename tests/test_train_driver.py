@@ -40,6 +40,7 @@ class TestMultiDeviceTraining:
             seed=7, config=tiny, use_selector=False, devices=devices)
         return jax.device_get(params), losses
 
+    @pytest.mark.slow
     def test_sharded_matches_single_device(self):
         p1, l1 = self._tiny_train(devices=0)
         p8, l8 = self._tiny_train(devices=8)
@@ -57,6 +58,7 @@ class TestMultiDeviceTraining:
                                        np.asarray(b, np.float32),
                                        rtol=2e-2, atol=1e-3)
 
+    @pytest.mark.slow
     def test_checkpoint_lands_from_cli_path(self, tmp_path, monkeypatch):
         """The CLI wiring end-to-end (args -> mesh -> checkpoint file)."""
         from mav_detection_tpu.models import checkpoint

@@ -148,8 +148,8 @@ def cv2_baseline_ms(prev8, curr8) -> float:
     return (time.perf_counter() - t0) / reps * 1e3
 
 
-def _params():
-    from mav_detection_tpu.ops.flow import FarnebackParams
+def _params(hw=(H, W)):
+    from mav_detection_tpu.ops.flow import FarnebackParams, tuned_flow_params
 
     warp = os.environ.get("MAV_BENCH_WARP", "pallas")
     fast = warp not in ("pallas",)  # pallas refits every iteration anyway
@@ -165,13 +165,14 @@ def _params():
     # the halo amortizes — 7.48 -> 3.25 ms/frame at IDENTICAL measured EPE
     # (the epe_check assert below keeps this honest on every run).
     if warp == "pallas":
-        return FarnebackParams(levels=2, pyr_scale=0.5, warp=warp, fast=fast,
-                               iterations=6, max_shift=8, band_rows=24)
+        # resolution-keyed tuned Pallas config (the sweep history lives in
+        # PERF.md "Pallas kernel tuning" / "Reference resolution")
+        return tuned_flow_params(hw[0], hw[1])
     return FarnebackParams(levels=2, pyr_scale=0.5, warp=warp, fast=fast,
                            iterations=10)
 
 
-def tpu_ms_per_frame(prev8, curr8, batch: int) -> float:
+def tpu_ms_per_frame(prev8, curr8, batch: int, params=None) -> float:
     """Amortized device ms/frame for flow+detect at the given batch size."""
     import jax
     import jax.numpy as jnp
@@ -179,9 +180,9 @@ def tpu_ms_per_frame(prev8, curr8, batch: int) -> float:
     from mav_detection_tpu.ops.flow.farneback import farneback_flow_batch
     from mav_detection_tpu.pipeline.detector import DetectionStep, detect_frame_batch_scalars
 
-    params = _params()
-    config = DetectionStep()
     h, w = prev8.shape
+    params = params or _params((h, w))
+    config = DetectionStep()
 
     seg = jnp.zeros((batch, h, w), jnp.uint8)
     sky = jnp.zeros((batch, h, w), bool)
@@ -224,7 +225,7 @@ def tpu_ms_per_frame(prev8, curr8, batch: int) -> float:
         n_hi *= 4
 
 
-def epe_check(prev8, curr8, gt_flow):
+def epe_check(prev8, curr8, gt_flow, params=None):
     """(EPE vs cv2 oracle, EPE vs analytic GT) on the non-uniform scene."""
     try:
         import cv2
@@ -236,11 +237,58 @@ def epe_check(prev8, curr8, gt_flow):
 
     ref = cv2.calcOpticalFlowFarneback(prev8, curr8, None, 0.4, 1, 12, 10, 8, 1.2, 0)
     ours = np.asarray(farneback_flow(jnp.asarray(prev8), jnp.asarray(curr8),
-                                     _params()))
+                                     params or _params(prev8.shape)))
     epe_cv2 = float(np.linalg.norm(ours - ref, axis=-1)[16:-16, 16:-16].mean())
     epe_gt = float(np.linalg.norm(ours - gt_flow, axis=-1)[16:-16, 16:-16].mean())
     assert epe_cv2 < 0.1, f"EPE vs cv2 oracle {epe_cv2:.4f} >= 0.1 px gate"
     return epe_cv2, epe_gt
+
+
+HIRES_HW = (1024, 1920)   # the reference's native AirSim cameras
+
+
+def hires_fields() -> dict:
+    """Amortized flow+detect at the reference's native 1920x1024 (VERDICT
+    r3 #1; ``/root/reference/etc/settings.json:17-19`` — the resolution every
+    published FoE number lives at).
+
+    Accuracy gates on the scene's ANALYTIC GT (< 0.55 px): the cv2 oracle is
+    the reference's single-level call (levels=1), which no longer tracks this
+    scene's ~12 px motion at this resolution (1.24 px vs GT), so
+    parity-with-oracle would reward degrading our pyramid to the oracle's
+    failure. The gate value: cv2 WITH a full pyramid (levels=3, every
+    advantage) floors at 0.476 px vs GT on this exact scene — the 12 px
+    expansion field plus the occlusion boundary are inherently harder at
+    this scale — so <0.55 means within ~15% of the best cv2 achieves. The
+    throughput baseline stays the reference's own cv2 call (what it would
+    actually run). Config sweep history: tools/hires_flow_sweep.py + PERF.md
+    "Reference resolution"."""
+    import jax.numpy as jnp
+
+    from mav_detection_tpu.ops.flow import farneback_flow
+
+    h, w = HIRES_HW
+    prev8, curr8, gt_flow = make_scene(0, h=h, w=w, foe=(w * 0.41, h * 0.4),
+                                       expansion=0.006,
+                                       drone_pos=(430.0, 260.0),
+                                       drone_vel=(6.0, 4.0),
+                                       drone_radius=22.0)
+    params = _params((h, w))
+    base_ms = cv2_baseline_ms(prev8, curr8)
+    ms_b = tpu_ms_per_frame(prev8, curr8, BATCH, params)
+    ours = np.asarray(farneback_flow(jnp.asarray(prev8), jnp.asarray(curr8),
+                                     params))
+    epe_gt = float(np.linalg.norm(ours - gt_flow, axis=-1)
+                   [16:-16, 16:-16].mean())
+    assert epe_gt < 0.55, f"hires EPE vs GT {epe_gt:.4f} >= 0.55 px gate"
+    fps = 1e3 / ms_b
+    return {"resolution": f"{w}x{h}", "fps_batch8": round(fps, 2),
+            "epe_gt": round(epe_gt, 4),
+            "vs_baseline": round(fps / (1e3 / base_ms), 2),
+            "baseline_ms_per_frame": round(base_ms, 1),
+            "config": {"batch": BATCH, "max_shift": params.max_shift,
+                       "band_rows": params.band_rows,
+                       "halo": params.pallas_halo}}
 
 
 def main() -> None:
@@ -250,6 +298,11 @@ def main() -> None:
     ours_ms_b = tpu_ms_per_frame(prev8, curr8, BATCH)
     ours_ms_1 = tpu_ms_per_frame(prev8, curr8, 1)
     epe_cv2, epe_gt = epe_check(prev8, curr8, gt_flow)
+
+    # reference-resolution measurement (VERDICT r3 #1); MAV_BENCH_HIRES=0
+    # skips it (quick local runs)
+    hires = (hires_fields()
+             if os.environ.get("MAV_BENCH_HIRES", "1") != "0" else None)
 
     fps_b = 1e3 / ours_ms_b
     fps1 = 1e3 / ours_ms_1
@@ -273,6 +326,7 @@ def main() -> None:
         "config": {"batch": BATCH, "warp": p.warp, "levels": p.levels,
                    "iterations": p.iterations, "max_shift": p.max_shift,
                    "band_rows": p.band_rows, "pyr_scale": p.pyr_scale},
+        "hires": hires,
     }))
 
 

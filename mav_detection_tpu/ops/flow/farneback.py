@@ -78,6 +78,40 @@ class FarnebackParams:
     pallas_halo: str = "auto"
 
 
+def tuned_flow_params(h: int, w: int) -> FarnebackParams:
+    """Hardware-tuned Pallas product configuration, keyed by resolution
+    (VERDICT r3 #1). Two measured operating points on TPU v5e:
+
+    * <=752x480 (the bench/MIDGARD scale): max_shift=8 + 24-row bands — with
+      pyramid init the per-refit residual stays inside +-8 px, halving the
+      shift/select chain, and the small halo lets bands grow so it amortizes
+      (PERF.md "Pallas kernel tuning": 7.48 -> 3.25 ms/frame, identical EPE).
+    * 1920x1024 (the reference's native AirSim cameras,
+      ``/root/reference/etc/settings.json:17-19``): the scene's motion is
+      ~12 px at the finest level, past the +-8 px refit window, so
+      ``max_shift=16`` (EPE vs analytic GT 0.486 px — within 2% of cv2's
+      full-pyramid floor of 0.476 px on the same scene; ``max_shift=8``
+      degrades to 0.83 px). The band/tile point comes from the v5e sweep
+      (tools/hires_flow_sweep.py, PERF.md "Reference resolution"):
+      band_rows=32 + element halo won (26.1 ms/frame batch-8, 38 fps/chip,
+      ~106x the cv2-CPU baseline at this size) — wide frames column-tile
+      (auto: 5 x 384 at S=16), so the halo cost scales with tiles and the
+      optimum band is taller than at bench scale (the row halo amortizes
+      over more tiles); band_rows=40's geometry exceeds the scoped-VMEM
+      budget and 48 narrows tiles to 256 (column halo takes over, +8%).
+
+    Interpolation rule: anything <= bench area uses the bench point, larger
+    frames the hi-res point (both share levels=2/iterations=6 — convergence
+    is resolution-independent; only the shift chain and tiling economics
+    change).
+    """
+    if h * w <= 480 * 752:
+        return FarnebackParams(levels=2, pyr_scale=0.5, warp="pallas",
+                               iterations=6, max_shift=8, band_rows=24)
+    return FarnebackParams(levels=2, pyr_scale=0.5, warp="pallas",
+                           iterations=6, max_shift=16, band_rows=32)
+
+
 # ----------------------------------------------------------------- helpers
 def _poly_exp_moments(n: int, sigma: float) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float, float, float, float]:
     """Gaussian applicability weights and the inverse-moment constants.
@@ -757,7 +791,9 @@ def _farneback_cf(prev: jax.Array, curr: jax.Array,
             band_rows=params.band_rows,
             # auto: element — at batch >= 2 the pl.Element windows beat the
             # per-iteration restack ~8% end-to-end, bit-exact (PERF.md
-            # "Element halo"); wide frames fall back inside the kernel entry
+            # "Element halo"); wide frames column-tile with lane-aligned
+            # Element windows (only an unaligned explicit tile_cols falls
+            # back to stacked inside the kernel entry)
             halo=("element" if params.pallas_halo == "auto"
                   else params.pallas_halo),
             interpret=interpret)

@@ -98,6 +98,7 @@ def train_raft(steps: int = 4000, batch: int = 8,
                peak_lr: float = 2.5e-4, chunk: int = 100, seed: int = 0,
                init_params=None, save_best_to: str = "",
                drone_weight: float = 40.0, sin_blend: float = 0.6,
+               pan_max: float = 0.0,
                devices: int = 0, config=None, use_selector: bool = True):
     """``devices > 1`` runs the chunk scan data-parallel over a 1-D
     ``data`` mesh (VERDICT r3 #4 / SURVEY §7 step 6): scene keys — and
@@ -180,8 +181,8 @@ def train_raft(steps: int = 4000, batch: int = 8,
                 # partition along the batch axis from this one constraint
                 # (params replicated -> GSPMD psums the mean-loss gradient)
                 keys = jax.lax.with_sharding_constraint(keys, key_sharding)
-            scenes = jax.vmap(lambda k: generate_scene(k, h, w, sin_blend))(
-                keys)
+            scenes = jax.vmap(lambda k: generate_scene(
+                k, h, w, sin_blend, pan_max=pan_max))(keys)
             loss, grads = jax.value_and_grad(loss_fn)(params, scenes)
             updates, opt_state = opt.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
@@ -212,9 +213,15 @@ def train_raft(steps: int = 4000, batch: int = 8,
         # min-over-gates (VERDICT r2): overall and drone-region EPE on BOTH
         # fixtures share the 0.5 px gate — score by the WORST of the four so
         # the selector can never trade one metric past its gate for another;
-        # the small sum term breaks ties toward improving all
+        # the small sum term breaks ties toward improving all. Large-motion
+        # (pan) training adds the uniform-shift ladder to the same pool so
+        # selection can't keep a small-motion-only snapshot.
         worst = 0.0
         total = 0.0
+        if pan_max > 0.0:
+            ladder = shift_ladder_epe(p, iters=iters)
+            worst = max(worst, ladder)
+            total += ladder
         for ds in sel_sets:
             epes, depes = [], []
             for i in range(ds.N - 1):
@@ -241,6 +248,36 @@ def train_raft(steps: int = 4000, batch: int = 8,
                                   selector=selector if use_selector else None,
                                   select_every=10, save_best_to=save_best_to)
     return params, losses
+
+
+def shift_ladder_epe(params, shifts: Tuple[int, ...] = (4, 8, 12),
+                     hw: Tuple[int, int] = (256, 320), seed: int = 3,
+                     iters: int = 0) -> float:
+    """Worst-case EPE over uniform-shift image pairs — the large-motion
+    probe that exposed the round-3 checkpoint's collapse at |flow| >= 4 px
+    (exact at 1 px, predicted -3 px for a +4 px shift; PERF.md "RAFT motion
+    cap"). The pair is the bench family's blurred-noise texture translated
+    k px in x; EPE is the interior mean of |f - (k, 0)|."""
+    import cv2
+
+    from mav_detection_tpu.models.raft import PRODUCT_ITERS, raft_flow
+
+    iters = iters or PRODUCT_ITERS
+    h, w = hw
+    rng = np.random.default_rng(seed)
+    base = cv2.GaussianBlur(
+        rng.random((h + 64, w + 64)).astype(np.float32), (0, 0), 1.5)
+    base = (base - base.min()) / max(np.ptp(base), 1e-6) * 220 + 20
+    worst = 0.0
+    for k in shifts:
+        prev = base[32:32 + h, 32:32 + w]
+        curr = base[32:32 + h, 32 - k:32 - k + w]
+        f = np.asarray(raft_flow(
+            params, jnp.repeat(jnp.asarray(prev)[..., None], 3, -1),
+            jnp.repeat(jnp.asarray(curr)[..., None], 3, -1), iters=iters))
+        err = np.hypot(f[..., 0] - k, f[..., 1])[24:-24, 24:-24].mean()
+        worst = max(worst, float(err))
+    return worst
 
 
 def eval_raft(params, n_pairs: int = 12,

@@ -75,7 +75,8 @@ def _drone_sprite(xs, ys, pos, radius, style):
 
 
 def generate_scene(key: jax.Array, h: int, w: int,
-                   sin_blend: float = 0.6) -> SynthScene:
+                   sin_blend: float = 0.6,
+                   pan_max: float = 0.0) -> SynthScene:
     """Sample one scene. All shapes static; every parameter traced.
 
     Textures, brightness ranges, sprite style, and noise are domain-
@@ -87,7 +88,25 @@ def generate_scene(key: jax.Array, h: int, w: int,
     ``sin_blend`` caps the sinusoidal-grid texture family's blend weight
     (cross-domain broadening); 0 restores the pure blurred-noise family the
     in-family eval fixture is drawn from — fine-tune polishes anneal it down
-    when in-family EPE drifts."""
+    when in-family EPE drifts.
+
+    ``pan_max`` > 0 adds a per-axis uniform camera pan of up to that many
+    pixels to the whole flow field (at long range a yaw/pitch rotation IS a
+    near-uniform image translation). The expansion+rotation family above
+    tops out ~3 px at the training scale, and the round-3 checkpoint
+    measurably COLLAPSED on |flow| >= 4 px at any resolution (PERF.md
+    "RAFT motion cap") — this is the large-motion curriculum that fixes it.
+    The scene is rendered inflated by ``pan_max + 2`` px on every side and
+    cropped back, so the pan never shows the warp's replicate-border smear
+    (which would be mislabeled supervision: smeared texture has zero
+    apparent motion while the GT says ``pan``). With pan the returned
+    ``foe`` no longer equals the flow field's zero (the pan shifts it);
+    RAFT training does not consume ``foe``."""
+    # pad covers the pan plus the expansion/rotation field's own reach at
+    # this scale (~4-5 px at 128-160 px frames, expansion <= 0.022)
+    pad = int(-(-pan_max // 1)) + 8 if pan_max > 0.0 else 0
+    hc, wc = h, w                     # crop (= output) size
+    h, w = h + 2 * pad, w + 2 * pad   # render size
     ks = jax.random.split(key, 20)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
@@ -132,7 +151,8 @@ def generate_scene(key: jax.Array, h: int, w: int,
     dt = jnp.float32(0.05)
     radial = expansion * jnp.stack([xs - foe[0], ys - foe[1]], axis=-1)
     rot = derotation_field(omega / dt, dt, w, h)
-    bg_flow = radial + rot
+    pan = jax.random.uniform(ks[16], (2,), minval=-pan_max, maxval=pan_max)
+    bg_flow = radial + rot + pan[None, None]
 
     # -- render frame 2: img2(y) = img1(f^-1(y)), f(x) = x + flow(x);
     #    invert by fixed point (flow is small and smooth, 3 rounds suffice)
@@ -148,10 +168,14 @@ def generate_scene(key: jax.Array, h: int, w: int,
     radius = jax.random.uniform(ks[7], (), minval=3.0, maxval=14.0)
     margin = 0.12
     pos1 = jnp.stack([
-        jax.random.uniform(ks[8], (), minval=margin, maxval=1 - margin) * w,
-        jax.random.uniform(ks[9], (), minval=margin, maxval=1 - margin) * h,
+        pad + jax.random.uniform(ks[8], (), minval=margin,
+                                 maxval=1 - margin) * wc,
+        pad + jax.random.uniform(ks[9], (), minval=margin,
+                                 maxval=1 - margin) * hc,
     ])
-    vel = jax.random.uniform(ks[10], (2,), minval=-5.0, maxval=5.0)
+    # the intruder's APPARENT motion is its own velocity plus the camera
+    # pan (camera rotation moves every scene point)
+    vel = jax.random.uniform(ks[10], (2,), minval=-5.0, maxval=5.0) + pan
     su = jax.random.uniform(ks[15], (5,))
     style = (30.0 + 40.0 * su[0],          # base brightness 30..70
              10.0 + 20.0 * su[1],          # pattern amplitude 10..30
@@ -173,13 +197,20 @@ def generate_scene(key: jax.Array, h: int, w: int,
     img1 = jnp.clip(img1 * gain + bias + noise_amp * n1, 0, 255)
     img2 = jnp.clip(img2 * gain + bias + noise_amp * n2, 0, 255)
 
+    if pad:
+        crop = lambda a: a[pad:pad + hc, pad:pad + wc]
+        img1, img2, flow = crop(img1), crop(img2), crop(flow)
+        sky_rows, mask1 = crop(sky_rows), crop(mask1)
+        pos1 = pos1 - pad
+        foe = foe - pad
     box = jnp.concatenate([pos1, jnp.stack([2 * radius, 2 * radius])])
     return SynthScene(img1=img1, img2=img2, flow=flow, sky=sky_rows,
                       seg=mask1, box=box, foe=foe, omega=omega, dt=dt)
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "h", "w"))
-def generate_batch(key: jax.Array, batch: int, h: int, w: int) -> SynthScene:
+@functools.partial(jax.jit, static_argnames=("batch", "h", "w", "pan_max"))
+def generate_batch(key: jax.Array, batch: int, h: int, w: int,
+                   pan_max: float = 0.0) -> SynthScene:
     """(batch,) of scenes, fully on device."""
-    return jax.vmap(lambda k: generate_scene(k, h, w))(
+    return jax.vmap(lambda k: generate_scene(k, h, w, pan_max=pan_max))(
         jax.random.split(key, batch))

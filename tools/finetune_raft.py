@@ -62,6 +62,11 @@ def main() -> None:
     ap.add_argument("--sin-blend", type=float, default=0.6,
                     help="cap on the sinusoid texture blend in the training "
                          "generator (0 = pure in-family blurred noise)")
+    ap.add_argument("--pan-max", type=float, default=0.0,
+                    help="large-motion curriculum: per-axis camera pan up "
+                         "to this many px added to every scene's flow "
+                         "(PERF.md 'RAFT motion cap'); adds the uniform-"
+                         "shift ladder to selection and gating")
     ap.add_argument("--chunk", type=int, default=50)
     ap.add_argument("--candidate", default="/tmp/raft_candidate.msgpack")
     ap.add_argument("--init", default="",
@@ -79,6 +84,7 @@ def main() -> None:
     from mav_detection_tpu.cli.train import (
         eval_raft,
         eval_raft_detection,
+        shift_ladder_epe,
         train_raft,
     )
     from mav_detection_tpu.models import checkpoint, pretrained
@@ -89,7 +95,9 @@ def main() -> None:
     log.info("=== shipped baseline ===")
     epe0, depe0 = eval_raft(shipped)
     cd0 = cross_domain(shipped)
-    log.info(f"shipped: eval EPE {epe0:.4f} drone {depe0:.4f} | {json.dumps(cd0)}")
+    lad0 = shift_ladder_epe(shipped)
+    log.info(f"shipped: eval EPE {epe0:.4f} drone {depe0:.4f} "
+             f"shift-ladder {lad0:.4f} | {json.dumps(cd0)}")
 
     init = shipped
     if args.init:
@@ -100,6 +108,7 @@ def main() -> None:
                            peak_lr=args.lr, init_params=init,
                            drone_weight=args.drone_weight,
                            sin_blend=args.sin_blend,
+                           pan_max=args.pan_max,
                            save_best_to=args.candidate)
     checkpoint.save_msgpack(args.candidate, params)
 
@@ -107,8 +116,10 @@ def main() -> None:
     epe1, depe1 = eval_raft(params)
     rtpr, gtpr = eval_raft_detection(params)
     cd1 = cross_domain(params)
+    lad1 = shift_ladder_epe(params)
     log.info(f"candidate: eval EPE {epe1:.4f} drone {depe1:.4f} "
-             f"det TPR {rtpr:.4f} vs GT {gtpr:.4f} | {json.dumps(cd1)}")
+             f"det TPR {rtpr:.4f} vs GT {gtpr:.4f} "
+             f"shift-ladder {lad1:.4f} | {json.dumps(cd1)}")
 
     gates = {
         "eval_epe<=0.5": epe1 <= 0.5,
@@ -117,6 +128,10 @@ def main() -> None:
         "bench_epe_improves": cd1["bench_epe"] <= max(cd0["bench_epe"], 0.4),
         "bench_drone_improves": cd1["bench_drone_epe"] <= cd0["bench_drone_epe"],
         "sim_epe_improves": cd1["sim_epe"] <= max(cd0["sim_epe"], 0.7),
+        # large-motion: never regress the ladder; with the pan curriculum
+        # demand it actually lands under the small-motion gate too
+        "shift_ladder_improves": lad1 <= lad0,
+        **({"shift_ladder<=0.5": lad1 <= 0.5} if args.pan_max > 0 else {}),
     }
     log.info(f"gates: {json.dumps(gates)}")
     if all(gates.values()):

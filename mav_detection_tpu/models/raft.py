@@ -661,6 +661,17 @@ def raft_flow_video_auto(frames: jax.Array, params=None,
 # vmap miscompiles, use lax.map. Decided once per process on the first
 # batch>=8 call by checking the vmap output itself (the exact product graph —
 # no proxy probe); reproducer: tools/vmap_miscompile_repro.py.
+#
+# Exit criterion reached (VERDICT r3 #9): tools/vmap_miscompile_minimize.py
+# re-materialized the historical einsum form in isolation through full
+# context and measured it CLEAN (bit-identical vmap vs lax.map) at batch 4
+# and 8 on the 2026-08-19 axon toolchain — the NaN class is fixed upstream,
+# so this canary now selects vmap on the first call and the 15% lax.map tax
+# is gone. It stays as zero-cost insurance against a toolchain regression
+# (one device-reduced scalar per first call). The residual finite vmap-vs-
+# map delta (~2e-2 px at isolated pixels, f32-persistent, non-growing) is
+# floor/clip tap-cell flips in the lookup, not a miscompile — see the
+# minimizer's stage-D classifier and PERF.md "vmap miscompile minimized".
 _VMAP_BATCH8_OK: Optional[bool] = None
 
 

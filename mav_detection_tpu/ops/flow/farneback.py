@@ -112,6 +112,32 @@ def tuned_flow_params(h: int, w: int) -> FarnebackParams:
                            iterations=6, max_shift=16, band_rows=32)
 
 
+def effective_pallas_config(params: FarnebackParams, h: int, w: int,
+                            batch: int) -> dict:
+    """The kernel configuration that ACTUALLY lowers for this run — the
+    requested ``pallas_halo``/tiling knobs are not always the effective ones
+    ("auto" resolves by batch; unaligned explicit tiles demote element to
+    stacked inside the kernel). bench.py ships these resolved values in its
+    JSON so a benchmarked configuration is always identifiable
+    (VERDICT r4 #10). Geometry is the finest pyramid level's (= the frame)."""
+    from mav_detection_tpu.ops.flow.farneback_pallas import resolve_tiling
+
+    if params.warp != "pallas":
+        return {"warp": params.warp}
+    requested = params.pallas_halo
+    halo = requested
+    if requested == "auto":
+        # mirrors farneback_flow (batch-1 hwb path: stacked) vs
+        # _farneback_cf (batch>=2 channel-first path: element)
+        halo = "element" if batch >= 2 else "stacked"
+    th, tw, nbands, nctiles, halo = resolve_tiling(
+        h, w, band_rows=params.band_rows, max_shift=params.max_shift,
+        winsize=params.winsize, halo=halo)
+    return {"warp": "pallas", "halo": halo, "halo_requested": requested,
+            "band_rows_effective": th, "tile_cols_effective": tw,
+            "n_bands": nbands, "n_col_tiles": nctiles}
+
+
 # ----------------------------------------------------------------- helpers
 def _poly_exp_moments(n: int, sigma: float) -> Tuple[np.ndarray, np.ndarray, np.ndarray, float, float, float, float]:
     """Gaussian applicability weights and the inverse-moment constants.

@@ -40,6 +40,7 @@ Plane-coordinate conventions inside the kernel (P = S + 1 + m):
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -253,32 +254,18 @@ def _iter_math(dx, dy, slabs, r0cs, bor_plane, out_ref,
     out_ref[0, 1] = (g22 * h1 - g12 * h2) * idet
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("iterations", "winsize", "max_shift", "band_rows",
-                     "tile_cols", "interpret", "halo"))
-def farneback_iterate_pallas(
-    R0cf: jax.Array,            # (b, 5, H, W) channel-first coefficients
-    R1cf: jax.Array,            # (b, 5, H, W)
-    flow0: jax.Array,           # (b, 2, H, W) initial flow
-    border: jax.Array,          # (H, W)
-    iterations: int = 10,
-    winsize: int = 12,
-    max_shift: int = 16,
-    band_rows: int = 8,
-    tile_cols: int = 0,
-    interpret: bool = False,
-    halo: str = "stacked",
-) -> jax.Array:
-    """Run ``iterations`` fused Farneback iterations; returns (b, 2, H, W).
+def resolve_tiling(H: int, W: int, *, band_rows: int, max_shift: int,
+                   winsize: int = 12, tile_cols: int = 0,
+                   halo: str = "stacked") -> tuple[int, int, int, int, str]:
+    """The kernel's EFFECTIVE tiling: ``(th, tw, nbands, nctiles, halo)``.
 
-    ``tile_cols`` splits the frame into column tiles of that width (0 = auto:
-    whole width up to 1024, then the narrowest split with tiles <= 896). The
-    per-block working set scales with the tile width, not W, so wide frames
-    (AirSim's 1920x1024 — SURVEY §2a image resolutions) stay inside the
-    ~16 MB VMEM; each tile pays a 2*(S+1+winsize/2)-column halo recompute.
+    This is the single source of truth for the geometry
+    ``farneback_iterate_pallas`` actually lowers (VERDICT r4 #10: the
+    requested halo/tile_cols are not always the effective ones — an
+    unaligned explicit ``tile_cols`` demotes ``halo="element"`` to
+    ``"stacked"``, and ``tile_cols=0`` auto-splits by the VMEM budget).
+    bench.py and the roofline tool report these effective values.
     """
-    b, _, H, W = R0cf.shape
     S = max_shift
     m = winsize // 2
     P = S + 1 + m
@@ -287,7 +274,6 @@ def farneback_iterate_pallas(
     # edge-padded stacking + final [:H] slice absorb any overhang.
     th = -(-min(band_rows, H) // 8) * 8
     nbands = -(-H // th)
-    Hp = nbands * th  # Pallas clamps (not masks) ragged blocks: pad instead
     # Per-block VMEM scales with the padded plane (th + 2P) * (tw + 2P)
     # TIMES a per-element cost that grows with the live shift/select chain
     # (2S+2 stages keep more temporaries in flight). Two v5e HARDWARE
@@ -318,18 +304,61 @@ def farneback_iterate_pallas(
             nct += 1
             tw = aligned_tile(nct)
     nctiles = -(-W // tw)
-    Wp = nctiles * tw
-
-    outspec_common = pl.BlockSpec(
-        (1, 2, th, tw), lambda i, j, t: (i, 0, j, t),
-        memory_space=pltpu.VMEM)
 
     if halo == "element" and nctiles > 1 and tw % 128:
         # Multi-tile Element windows need PROVABLY lane-aligned column
         # starts: t*tw is statically divisible by the 128-lane tiling only
         # when tw is a multiple of 128 (the auto-tiler always is; an
         # explicit unaligned tile_cols falls back to the stacked layout).
+        # Loudly: a user who asked for element and benchmarks the result
+        # would otherwise measure the other kernel (VERDICT r4 #10).
+        logging.getLogger(__name__).warning(
+            "farneback_iterate_pallas: halo='element' with explicit "
+            "tile_cols=%d (not 128-aligned) falls back to halo='stacked' "
+            "at %dx%d — use a multiple of 128 (or tile_cols=0 auto) to "
+            "keep the element layout", tw, W, H)
         halo = "stacked"
+    return th, tw, nbands, nctiles, halo
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iterations", "winsize", "max_shift", "band_rows",
+                     "tile_cols", "interpret", "halo"))
+def farneback_iterate_pallas(
+    R0cf: jax.Array,            # (b, 5, H, W) channel-first coefficients
+    R1cf: jax.Array,            # (b, 5, H, W)
+    flow0: jax.Array,           # (b, 2, H, W) initial flow
+    border: jax.Array,          # (H, W)
+    iterations: int = 10,
+    winsize: int = 12,
+    max_shift: int = 16,
+    band_rows: int = 8,
+    tile_cols: int = 0,
+    interpret: bool = False,
+    halo: str = "stacked",
+) -> jax.Array:
+    """Run ``iterations`` fused Farneback iterations; returns (b, 2, H, W).
+
+    ``tile_cols`` splits the frame into column tiles of that width (0 = auto:
+    whole width up to 1024, then the narrowest split with tiles <= 896). The
+    per-block working set scales with the tile width, not W, so wide frames
+    (AirSim's 1920x1024 — SURVEY §2a image resolutions) stay inside the
+    ~16 MB VMEM; each tile pays a 2*(S+1+winsize/2)-column halo recompute.
+    """
+    b, _, H, W = R0cf.shape
+    S = max_shift
+    m = winsize // 2
+    P = S + 1 + m
+    th, tw, nbands, nctiles, halo = resolve_tiling(
+        H, W, band_rows=band_rows, max_shift=max_shift, winsize=winsize,
+        tile_cols=tile_cols, halo=halo)
+    Hp = nbands * th  # Pallas clamps (not masks) ragged blocks: pad instead
+    Wp = nctiles * tw
+
+    outspec_common = pl.BlockSpec(
+        (1, 2, th, tw), lambda i, j, t: (i, 0, j, t),
+        memory_space=pltpu.VMEM)
 
     if halo == "element":
         # window directly into edge-padded planar arrays with pl.Element

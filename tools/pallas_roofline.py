@@ -56,25 +56,16 @@ VPU_TOPS = 3.85
 
 def kernel_geometry(H: int, W: int, band_rows: int, max_shift: int,
                     winsize: int = 12, tile_cols: int = 0):
-    """Mirror of ``farneback_iterate_pallas``'s tiling arithmetic."""
+    """The kernel's effective tiling, via its own ``resolve_tiling`` (single
+    source of truth since round 5 — this used to be a hand-kept mirror)."""
+    from mav_detection_tpu.ops.flow.farneback_pallas import resolve_tiling
+
     S, m = max_shift, winsize // 2
-    P = S + 1 + m
-    th = -(-min(band_rows, H) // 8) * 8
-    nbands = -(-H // th)
-    plane_budget = int(15.5e6 / (206.0 + 6.1 * (2 * S + 2)))
-    max_cols = max(plane_budget // (th + 2 * P) - 2 * P, 256)
-    if tile_cols:
-        tw = min(tile_cols, W)
-    elif W <= max_cols:
-        tw = W
-    else:
-        nct = -(-W // max_cols)
-        tw = -(-(-(-W // nct)) // 128) * 128
-        while tw > max_cols and nct * 128 < W + 128:
-            nct += 1
-            tw = -(-(-(-W // nct)) // 128) * 128
-    nctiles = -(-W // tw)
-    return dict(S=S, m=m, P=P, th=th, tw=tw, nbands=nbands, nctiles=nctiles)
+    th, tw, nbands, nctiles, _ = resolve_tiling(
+        H, W, band_rows=band_rows, max_shift=max_shift, winsize=winsize,
+        tile_cols=tile_cols)
+    return dict(S=S, m=m, P=S + 1 + m, th=th, tw=tw, nbands=nbands,
+                nctiles=nctiles)
 
 
 def bytes_per_iter(H: int, W: int, g: dict, halo: str) -> float:

@@ -656,6 +656,104 @@ def raft_flow_video_auto(frames: jax.Array, params=None,
         lambda cfg: raft_flow_video(frames, params, iters, cfg), hw, config)
 
 
+@dataclass(frozen=True)
+class TunedRAFT:
+    """Resolution-keyed RAFT inference operating point (VERDICT r4 #3) —
+    the net-path mirror of ``tuned_flow_params`` for Farneback
+    (``ops/flow/farneback.py``). ``scale`` > 1 runs the net at
+    (h // scale, w // scale) and bilinearly upsamples the flow by
+    ``scale`` — RAFT's correlation features only generalize near the
+    motion scale the checkpoint trained at, so hi-res frames are
+    inferred at a working resolution that shrinks the scene's motion
+    back into the trained range (the reference used the same pattern
+    for its YOLO working resolution; our TinyYOLO does too —
+    PERF.md "Sky / TinyYOLO at AirSim resolution")."""
+
+    scale: int = 1
+    iters: int = PRODUCT_ITERS
+    config: RAFTConfig = INFERENCE_CONFIG
+
+
+def tuned_raft_config(h: int, w: int) -> TunedRAFT:
+    """Measured RAFT operating point by resolution (v5e,
+    ``tools/hires_raft_probe.py``; re-pinned whenever the checkpoint
+    changes — the ladder lives in PERF.md "RAFT motion cap"):
+
+    * <= 752x480 (bench/MIDGARD scale, motion <= ~9 px): native scale,
+      ``PRODUCT_ITERS`` — 6.13 ms/frame batch-8 (163 fps/chip), every
+      EPE/detection gate green.
+    * larger (the reference's 1920x1024 AirSim cameras, motion ~12 px):
+      quarter-scale inference — measured 1.80 px EPE vs analytic GT at
+      353 fps/chip, against 5.95 px at native scale (23.5 fps) and
+      5.26 px at half scale: the round-4 checkpoint collapses beyond
+      ~4 px of motion, and 1/4 scale shrinks the scene's ~12 px back
+      inside its trained range. Re-measured against each shipped
+      checkpoint; the pan-curriculum retrain is expected to move this
+      point toward half/native scale.
+    """
+    if h * w <= 480 * 752:
+        return TunedRAFT()
+    return TunedRAFT(scale=4)
+
+
+def _run_scaled(run_auto, images_hw: Tuple[int, int],
+                tuned: Optional[TunedRAFT]) -> "np.ndarray":
+    """Shared tuned-entry driver: resolve the operating point from the
+    input resolution, hand the (possibly downscaled) batch to the
+    auto-escalation path, and upsample the flow back. The saturation
+    check inside ``run_auto`` operates at the net's working scale,
+    which is where the volume coverage is defined."""
+    h, w = images_hw
+    t = tuned or tuned_raft_config(h, w)
+    flow = run_auto(t)
+    if t.scale > 1:
+        from mav_detection_tpu.ops.image.resize import resize
+
+        b = flow.shape[0]
+        flow = np.asarray(resize(jnp.asarray(flow), (b, h, w))) * float(t.scale)
+    return flow
+
+
+def raft_flow_batch_tuned(images1: jax.Array, images2: jax.Array,
+                          params=None,
+                          tuned: Optional[TunedRAFT] = None) -> "np.ndarray":
+    """Resolution-keyed product entry point for pair batches:
+    ``tuned_raft_config`` picks the working scale/iters, inference runs
+    through the coverage-escalation ladder, flow returns at the INPUT
+    resolution. This is what makes ``--flow-source RAFT`` produce usable
+    flow at the reference's native 1920x1024 (VERDICT r4 #3)."""
+    h, w = int(images1.shape[1]), int(images1.shape[2])
+    t = tuned or tuned_raft_config(h, w)
+    if t.scale > 1:
+        from mav_detection_tpu.ops.image.resize import resize
+
+        b = int(images1.shape[0])
+        sh, sw = h // t.scale, w // t.scale
+        images1 = resize(jnp.asarray(images1, jnp.float32), (b, sh, sw))
+        images2 = resize(jnp.asarray(images2, jnp.float32), (b, sh, sw))
+    return _run_scaled(
+        lambda tt: raft_flow_batch_auto(images1, images2, params,
+                                        tt.iters, tt.config),
+        (h, w), t)
+
+
+def raft_flow_video_tuned(frames: jax.Array, params=None,
+                          tuned: Optional[TunedRAFT] = None) -> "np.ndarray":
+    """Resolution-keyed product entry point for contiguous video chains
+    (shared per-frame encoding via ``raft_flow_video``)."""
+    h, w = int(frames.shape[1]), int(frames.shape[2])
+    t = tuned or tuned_raft_config(h, w)
+    if t.scale > 1:
+        from mav_detection_tpu.ops.image.resize import resize
+
+        n = int(frames.shape[0])
+        frames = resize(jnp.asarray(frames, jnp.float32),
+                        (n, h // t.scale, w // t.scale))
+    return _run_scaled(
+        lambda tt: raft_flow_video_auto(frames, params, tt.iters, tt.config),
+        (h, w), t)
+
+
 # Run-time canary for the TPU vmap-batch>=8 NaN miscompile (VERDICT r2 #4):
 # None = undecided, True = vmap verified finite on this toolchain, False =
 # vmap miscompiles, use lax.map. Decided once per process on the first

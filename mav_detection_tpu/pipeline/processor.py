@@ -262,12 +262,13 @@ class Processor:
         if src == FlowSource.RAFT and "frames_rgb" in staged:
             # contiguous transitions: shared per-frame encoding (each unique
             # frame through fnet once instead of twice — raft_flow_video)
-            from mav_detection_tpu.models.raft import raft_flow_video_auto
+            from mav_detection_tpu.models.raft import raft_flow_video_tuned
 
-            # saturated coverage auto-escalates and re-runs (VERDICT r3 #5)
-            return raft_flow_video_auto(jnp.asarray(staged["frames_rgb"]))
+            # resolution-keyed working scale (tuned_raft_config) + coverage
+            # auto-escalation on saturation (VERDICT r3 #5 / r4 #3)
+            return raft_flow_video_tuned(jnp.asarray(staged["frames_rgb"]))
         if src == FlowSource.RAFT and "prevs_rgb" in staged:
-            from mav_detection_tpu.models.raft import raft_flow_batch_auto
+            from mav_detection_tpu.models.raft import raft_flow_batch_tuned
 
             prevs = jnp.asarray(staged["prevs_rgb"])
             currs = jnp.asarray(staged["currs_rgb"])
@@ -275,8 +276,8 @@ class Processor:
                 from mav_detection_tpu.parallel import shard_frame_batch
 
                 prevs, currs = shard_frame_batch(self.mesh, prevs, currs)
-            # saturated coverage auto-escalates and re-runs (VERDICT r3 #5)
-            return raft_flow_batch_auto(prevs, currs)
+            # resolution-keyed working scale + coverage auto-escalation
+            return raft_flow_batch_tuned(prevs, currs)
         return self._flow_batch(idx)  # fallback (unstaged callers)
 
     def _flow_spatial_pairs(self, prevs: jax.Array, currs: jax.Array):
@@ -331,7 +332,7 @@ class Processor:
                 out.append(np.asarray(lk_dense_flow(g0, g1)))
             return np.stack(out)
         if src == FlowSource.RAFT:
-            from mav_detection_tpu.models.raft import raft_flow_batch_auto
+            from mav_detection_tpu.models.raft import raft_flow_batch_tuned
 
             prevs = jnp.asarray(np.stack([ds.get_frame(i) for i in indices]))
             currs = jnp.asarray(np.stack([ds.get_frame(i + 1) for i in indices]))
@@ -341,9 +342,9 @@ class Processor:
                 # data-parallel net inference: batch axis sharded, params
                 # replicated (GSPMD partitions the vmapped apply)
                 prevs, currs = shard_frame_batch(self.mesh, prevs, currs)
-            # motion past the local-volume coverage cap (|flow| <= 16 px
-            # exact by default) auto-escalates and re-runs (VERDICT r3 #5)
-            return raft_flow_batch_auto(prevs, currs)
+            # resolution-keyed working scale (tuned_raft_config); motion past
+            # the local-volume coverage cap auto-escalates (VERDICT r3 #5)
+            return raft_flow_batch_tuned(prevs, currs)
         raise ValueError(f"unsupported flow source {src}")
 
     def _open_flo_prefetcher(self, n_pairs: int) -> None:

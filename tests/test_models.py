@@ -369,6 +369,53 @@ class TestCoverageEscalation:
         np.testing.assert_allclose(np.linalg.norm(flow[0, 0, 0]), true,
                                    rtol=1e-5)
 
+    def test_tuned_config_keys_by_resolution(self):
+        """tuned_raft_config mirrors tuned_flow_params (VERDICT r4 #3):
+        bench/MIDGARD scale runs natively; the reference's 1920x1024
+        AirSim frames run at the measured reduced working scale."""
+        from mav_detection_tpu.models.raft import (
+            PRODUCT_ITERS,
+            tuned_raft_config,
+        )
+
+        assert tuned_raft_config(480, 752).scale == 1
+        assert tuned_raft_config(240, 320).scale == 1
+        assert tuned_raft_config(1024, 1920).scale > 1
+        assert tuned_raft_config(480, 752).iters == PRODUCT_ITERS
+
+    def test_batch_tuned_downscales_and_rescales_flow(self, monkeypatch):
+        """With scale=s the net sees (h/s, w/s) inputs and the caller gets
+        (h, w) flow multiplied by s — the exact contract the hires probe
+        measured (tools/hires_raft_probe.py --downscale)."""
+        import mav_detection_tpu.models.raft as raft_mod
+        from mav_detection_tpu.models.raft import TunedRAFT
+
+        seen = {}
+
+        def fake_auto(i1, i2, params, iters, cfg):
+            seen["shape"] = tuple(i1.shape)
+            return np.full(tuple(i1.shape[:3]) + (2,), 1.5, np.float32)
+
+        monkeypatch.setattr(raft_mod, "raft_flow_batch_auto", fake_auto)
+        imgs = jnp.zeros((2, 128, 160, 3), jnp.float32)
+        flow = raft_mod.raft_flow_batch_tuned(
+            imgs, imgs, tuned=TunedRAFT(scale=4))
+        assert seen["shape"][:3] == (2, 32, 40)
+        assert flow.shape == (2, 128, 160, 2)
+        np.testing.assert_allclose(flow, 6.0, atol=1e-5)
+
+    def test_video_tuned_native_passthrough(self, monkeypatch):
+        """At scale=1 the tuned video entry is the auto path unchanged."""
+        import mav_detection_tpu.models.raft as raft_mod
+        from mav_detection_tpu.models.raft import TunedRAFT
+
+        sent = np.random.default_rng(0).random((3, 16, 24, 2)).astype(np.float32)
+        monkeypatch.setattr(raft_mod, "raft_flow_video_auto",
+                            lambda f, p, it, cfg: sent)
+        frames = jnp.zeros((4, 16, 24, 3), jnp.float32)
+        flow = raft_mod.raft_flow_video_tuned(frames, tuned=TunedRAFT())
+        np.testing.assert_array_equal(flow, sent)
+
     def test_materialize_rung_when_band_outgrows_volume(self):
         """On small frames the doubled band quickly rivals the frame size;
         the ladder switches to the materialized all-pairs volume (unbounded

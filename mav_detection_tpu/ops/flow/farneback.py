@@ -76,6 +76,15 @@ class FarnebackParams:
     # (channel-first) runs where it wins ~8% end-to-end and stacked for
     # batch-1 where XLA fuses the restack better (PERF.md "Element halo").
     pallas_halo: str = "auto"
+    # Optional per-level iteration schedule, indexed by pyramid level
+    # (0 = finest, matching cv2's k; levels beyond the tuple reuse its last
+    # entry). Overrides ``iterations`` when set. The finest level dominates
+    # cost (each coarser level is pyr_scale^2 of the area), so schedules
+    # like (4, 8, 12) buy fine-level iterations back with cheap coarse ones
+    # — the coarse levels hand the fine level a converged init (VERDICT r4
+    # #7; hardware sweep in tools/iter_schedule_sweep.py / PERF.md).
+    # Keyword-only in spirit: keep this LAST (callers construct positionally).
+    level_iters: Optional[Tuple[int, ...]] = None
 
 
 def tuned_flow_params(h: int, w: int) -> FarnebackParams:
@@ -722,7 +731,8 @@ def _farneback_hwb(prev: jax.Array, curr: jax.Array,
                 jnp.transpose(R0, (2, 3, 0, 1)),
                 jnp.transpose(R1, (2, 3, 0, 1)),
                 jnp.transpose(flow, (2, 3, 0, 1)), border,
-                iterations=params.iterations, winsize=params.winsize,
+                iterations=_level_iter_count(params, k_level),
+                winsize=params.winsize,
                 max_shift=params.max_shift, band_rows=params.band_rows,
                 # auto: stacked — this path serves batch 1 (batches go
                 # through _farneback_cf), where XLA fuses the restack better
@@ -733,23 +743,37 @@ def _farneback_hwb(prev: jax.Array, curr: jax.Array,
             flow = jnp.transpose(flow_cf, (2, 3, 0, 1))
             continue
 
-        flow = _jacobi_level(R0, R1, flow, border, params)
+        flow = _jacobi_level(R0, R1, flow, border, params,
+                             iterations=_level_iter_count(params, k_level))
 
     return flow
 
 
-def _refit_schedule(params: "FarnebackParams") -> set:
+def _level_iter_count(params: "FarnebackParams", k_level: int) -> int:
+    """Iteration count for pyramid level ``k_level`` (0 = finest): the
+    ``level_iters`` schedule when set (clamped to its last entry for deeper
+    levels), else the flat ``iterations``."""
+    if not params.level_iters:
+        return params.iterations
+    li = params.level_iters
+    return li[min(k_level, len(li) - 1)]
+
+
+def _refit_schedule(params: "FarnebackParams",
+                    iterations: Optional[int] = None) -> set:
     """Iterations after which the normal-equation matrices are refit.
     ``fast`` thins the schedule (PERF.md: the warp dominates; halving refits
     costs ~0.003 px EPE vs the oracle)."""
+    n = params.iterations if iterations is None else iterations
     if params.fast:
-        return {0, 1, 2, 4, 7} & set(range(params.iterations - 1))
-    return set(range(params.iterations - 1))
+        return {0, 1, 2, 4, 7} & set(range(n - 1))
+    return set(range(n - 1))
 
 
 def _jacobi_level(R0: jax.Array, R1: jax.Array, flow: jax.Array,
                   border: jax.Array, params: "FarnebackParams",
-                  warp: Optional[str] = None) -> jax.Array:
+                  warp: Optional[str] = None,
+                  iterations: Optional[int] = None) -> jax.Array:
     """One pyramid level's iterate/refit loop (XLA warp paths).
 
     Jacobi-style iteration: solve everywhere, then refit everywhere. The
@@ -761,9 +785,10 @@ def _jacobi_level(R0: jax.Array, R1: jax.Array, flow: jax.Array,
     replicated coarse levels (parallel/spatial.py) so the refit schedule
     cannot drift between them."""
     warp = warp or params.warp
-    um_iters = _refit_schedule(params)
+    n = params.iterations if iterations is None else iterations
+    um_iters = _refit_schedule(params, n)
     M = _update_matrices(R0, R1, flow, border, warp, params.max_shift)
-    for it in range(params.iterations):
+    for it in range(n):
         flow = _solve_flow(M, params.winsize, params.precision)
         if it in um_iters:
             M = _update_matrices(R0, R1, flow, border, warp,
@@ -812,7 +837,8 @@ def _farneback_cf(prev: jax.Array, curr: jax.Array,
         border = _border_scale_map(lh, lw)
 
         flow = farneback_iterate_pallas(
-            R0, R1, flow, border, iterations=params.iterations,
+            R0, R1, flow, border,
+            iterations=_level_iter_count(params, k_level),
             winsize=params.winsize, max_shift=params.max_shift,
             band_rows=params.band_rows,
             # auto: element — at batch >= 2 the pl.Element windows beat the

@@ -49,6 +49,7 @@ from mav_detection_tpu.ops.flow.farneback import (
     _border_scale_map,
     _gaussian_blur,
     _jacobi_level,
+    _level_iter_count,
     _poly_exp,
     _pyramid_scales,
     _refit_schedule,
@@ -65,19 +66,22 @@ SPATIAL_PARAMS = FarnebackParams(warp="separable", levels=2, pyr_scale=0.5,
 
 
 def _level_replicated(i0: jax.Array, i1: jax.Array, flow: jax.Array,
-                      border: jax.Array, params: FarnebackParams) -> jax.Array:
+                      border: jax.Array, params: FarnebackParams,
+                      iterations: Optional[int] = None) -> jax.Array:
     """One pyramid level of the plain Jacobi loop (identical on every
     device — no communication). Shares the solver's ``_jacobi_level`` so the
     refit schedule cannot drift from the unsharded path this engine is gated
     against."""
     R0 = _poly_exp(i0, params.poly_n, params.poly_sigma, params.precision)
     R1 = _poly_exp(i1, params.poly_n, params.poly_sigma, params.precision)
-    return _jacobi_level(R0, R1, flow, border, params, warp="separable")
+    return _jacobi_level(R0, R1, flow, border, params, warp="separable",
+                         iterations=iterations)
 
 
 def _level_sharded(i0: jax.Array, i1: jax.Array, flow: jax.Array,
                    border: jax.Array, params: FarnebackParams,
-                   mesh: Mesh, axis: str) -> jax.Array:
+                   mesh: Mesh, axis: str,
+                   iterations: Optional[int] = None) -> jax.Array:
     """One pyramid level with the iterate/refit loop sharded over rows."""
     h, w, b = i0.shape
     n_dev = mesh.shape[axis]
@@ -133,10 +137,11 @@ def _level_sharded(i0: jax.Array, i1: jax.Array, flow: jax.Array,
                            sl[hl + fh_m - 1][None], sl)
             return sl
 
-        um_iters = _refit_schedule(params)
+        n = params.iterations if iterations is None else iterations
+        um_iters = _refit_schedule(params, n)
         M = refit(flow_l)
         fl = flow_l
-        for it in range(params.iterations):
+        for it in range(n):
             fl = _solve_flow(M, params.winsize,
                              params.precision)[fh_m: fh_m + hl]
             if it in um_iters:
@@ -177,11 +182,14 @@ def _flow_spatial(prev: jax.Array, curr: jax.Array,
             flow = _resize_linear(flow, (lh, lw)) * (1.0 / params.pyr_scale)
         border = _border_scale_map(lh, lw)
 
+        n_it = _level_iter_count(params, k_level)
         if lh % n_dev == 0 and lh // n_dev >= fh_r:
-            flow = _level_sharded(i0, i1, flow, border, params, mesh, axis)
+            flow = _level_sharded(i0, i1, flow, border, params, mesh, axis,
+                                  iterations=n_it)
         else:
             # band smaller than the halo: replicate this (cheap) level
-            flow = _level_replicated(i0, i1, flow, border, params)
+            flow = _level_replicated(i0, i1, flow, border, params,
+                                     iterations=n_it)
     return flow
 
 
@@ -207,12 +215,9 @@ def farneback_flow_spatial(prev: jax.Array, curr: jax.Array,
 
         mesh = make_mesh()
     if params.warp not in ("separable", "auto"):
-        params = FarnebackParams(
-            pyr_scale=params.pyr_scale, levels=params.levels,
-            winsize=params.winsize, iterations=params.iterations,
-            poly_n=params.poly_n, poly_sigma=params.poly_sigma,
-            precision=params.precision, fast=params.fast,
-            warp="separable", max_shift=params.max_shift)
+        from dataclasses import replace
+
+        params = replace(params, warp="separable")
     if prev.shape[0] % mesh.shape[axis]:
         raise ValueError(
             f"image height {prev.shape[0]} must divide by the mesh axis "

@@ -212,3 +212,59 @@ class TestSeparableWarp:
         gt_err = np.linalg.norm(l3 - flow, axis=-1)[INNER].mean()
         cv2_err = np.linalg.norm(ref - flow, axis=-1)[INNER].mean()
         assert gt_err < cv2_err + 0.1, (gt_err, cv2_err)
+
+
+class TestLevelIterationSchedule:
+    """Per-level iteration counts (VERDICT r4 #7): a uniform schedule must be
+    bit-identical to the flat ``iterations`` knob, and non-uniform schedules
+    must actually run different counts per pyramid level."""
+
+    def test_uniform_schedule_is_identity(self):
+        prev, curr = make_pair()
+        flat = FarnebackParams(levels=2, pyr_scale=0.5, iterations=5,
+                               warp="separable", max_shift=8)
+        sched = FarnebackParams(levels=2, pyr_scale=0.5, iterations=99,
+                                level_iters=(5, 5, 5),
+                                warp="separable", max_shift=8)
+        f0 = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr), flat))
+        f1 = np.asarray(farneback_flow(jnp.asarray(prev), jnp.asarray(curr), sched))
+        np.testing.assert_array_equal(f0, f1)
+
+    def test_uniform_schedule_is_identity_pallas(self):
+        prev, curr = make_pair(shape=(96, 128))
+        flat = FarnebackParams(levels=1, pyr_scale=0.5, iterations=4,
+                               warp="pallas", max_shift=8, band_rows=24)
+        sched = FarnebackParams(levels=1, pyr_scale=0.5, iterations=1,
+                                level_iters=(4,),
+                                warp="pallas", max_shift=8, band_rows=24)
+        b = jnp.stack([jnp.asarray(prev, jnp.float32)] * 2)
+        c = jnp.stack([jnp.asarray(curr, jnp.float32)] * 2)
+        f0 = np.asarray(farneback_flow_batch(b, c, flat))
+        f1 = np.asarray(farneback_flow_batch(b, c, sched))
+        np.testing.assert_array_equal(f0, f1)
+
+    def test_clamps_to_last_entry(self):
+        from mav_detection_tpu.ops.flow.farneback import _level_iter_count
+
+        p = FarnebackParams(level_iters=(4, 8))
+        assert _level_iter_count(p, 0) == 4    # finest
+        assert _level_iter_count(p, 1) == 8
+        assert _level_iter_count(p, 5) == 8    # deeper levels reuse the last
+        assert _level_iter_count(FarnebackParams(iterations=7), 3) == 7
+
+    def test_nonuniform_changes_result_toward_more_fine_iters(self):
+        """(1, k) schedules: more coarse iterations must move the flow field
+        (the schedule is actually consumed per level, not globally)."""
+        prev, curr = make_pair(d=(4.0, 0.0))
+        outs = []
+        for k in (1, 8):
+            p = FarnebackParams(levels=2, pyr_scale=0.5,
+                                level_iters=(1, k),
+                                warp="separable", max_shift=8)
+            outs.append(np.asarray(
+                farneback_flow(jnp.asarray(prev), jnp.asarray(curr), p)))
+        assert np.abs(outs[0] - outs[1]).max() > 1e-4
+        # and the coarse-heavy schedule tracks the 4 px motion better from
+        # its converged coarse init
+        err = [np.hypot(o[..., 0] - 4.0, o[..., 1])[INNER].mean() for o in outs]
+        assert err[1] <= err[0] + 1e-6

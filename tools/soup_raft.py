@@ -30,6 +30,9 @@ def main() -> None:
                     help="fine-tune candidate msgpack (alpha=1 endpoint)")
     ap.add_argument("--alphas", type=float, nargs="+",
                     default=[0.3, 0.5, 0.7])
+    ap.add_argument("--ladder-gate", type=float, default=0.5,
+                    help="max shift_ladder_epe a shippable soup may have "
+                         "(PERF.md 'RAFT motion cap')")
     ap.add_argument("--ship", action="store_true")
     args = ap.parse_args()
 
@@ -39,7 +42,11 @@ def main() -> None:
 
     import jax
 
-    from mav_detection_tpu.cli.train import eval_raft, eval_raft_detection
+    from mav_detection_tpu.cli.train import (
+        eval_raft,
+        eval_raft_detection,
+        shift_ladder_epe,
+    )
     from mav_detection_tpu.models import checkpoint, pretrained
     from tools.finetune_raft import cross_domain
 
@@ -48,8 +55,9 @@ def main() -> None:
 
     epe0, depe0 = eval_raft(shipped)
     cd0 = cross_domain(shipped)
-    log.info(f"shipped: eval EPE {epe0:.4f} drone {depe0:.4f} | "
-             f"{json.dumps(cd0)}")
+    lad0 = shift_ladder_epe(shipped)
+    log.info(f"shipped: eval EPE {epe0:.4f} drone {depe0:.4f} "
+             f"shift-ladder {lad0:.4f} | {json.dumps(cd0)}")
 
     best = None
     for alpha in args.alphas:
@@ -58,6 +66,7 @@ def main() -> None:
         epe1, depe1 = eval_raft(soup)
         rtpr, gtpr = eval_raft_detection(soup)
         cd1 = cross_domain(soup)
+        lad1 = shift_ladder_epe(soup)
         gates = {
             "eval_epe<=0.5": epe1 <= 0.5,
             "drone_epe<=0.5": depe1 <= 0.5,
@@ -67,10 +76,13 @@ def main() -> None:
             "bench_drone_improves":
                 cd1["bench_drone_epe"] <= cd0["bench_drone_epe"],
             "sim_epe_improves": cd1["sim_epe"] <= max(cd0["sim_epe"], 0.7),
+            # large-motion (round 5): the pan-curriculum candidate exists to
+            # fix the >=4 px collapse — a soup may never ship it away
+            "shift_ladder<=0.5": lad1 <= max(args.ladder_gate, 1e-9),
         }
         log.info(f"alpha={alpha}: eval EPE {epe1:.4f} drone {depe1:.4f} "
-                 f"det TPR {rtpr:.4f}/{gtpr:.4f} | {json.dumps(cd1)} | "
-                 f"gates {json.dumps(gates)}")
+                 f"det TPR {rtpr:.4f}/{gtpr:.4f} ladder {lad1:.4f} | "
+                 f"{json.dumps(cd1)} | gates {json.dumps(gates)}")
         if all(gates.values()):
             # among passers prefer the best worst-case drone-region EPE
             # across the three scene families — the detection-critical

@@ -86,3 +86,46 @@ class TestMockSimFamily:
                         reason="no shipped yolo checkpoint")
     def test_yolo(self, sim_metrics):
         assert sim_metrics["yolo_iou"] > 0.4, sim_metrics
+
+
+class TestHiresLK:
+    """LK at the reference's native 1920x1024 (VERDICT r4 #5): the
+    reference's sparse path fed the FoE at full AirSim resolution
+    (``/root/reference/src/lucas_kanade.py:22-29``). Gates calibrated from
+    tools/hires_lk_probe.py (PERF.md "LK at reference resolution"):
+    sparse tracks 0.051 px mean EPE over 1945 survivors; densified field
+    0.82 px interior (interpolation between tracks — the dense PRODUCT path
+    at this scale is Farneback at 0.486 px; LK's product role is the sparse
+    FoE diet). Rails at ~2x the measured values."""
+
+    def test_sparse_tracks_and_dense_field(self):
+        import jax.numpy as jnp
+
+        import bench
+        from mav_detection_tpu.ops.flow.lucas_kanade import (
+            lk_dense_flow,
+            lucas_kanade_track,
+            shi_tomasi_corners,
+        )
+
+        h, w = 1024, 1920
+        prev8, curr8, gt = bench.make_scene(
+            0, h=h, w=w, foe=(w * 0.41, h * 0.4), expansion=0.006,
+            drone_pos=(430.0, 260.0), drone_vel=(6.0, 4.0), drone_radius=22.0)
+        g0 = jnp.asarray(prev8, jnp.float32)
+        g1 = jnp.asarray(curr8, jnp.float32)
+
+        corners = shi_tomasi_corners(g0, max_corners=2000, quality_level=0.05)
+        tracked = lucas_kanade_track(g0, g1, corners.points)
+        ok = np.asarray(corners.valid & tracked.status)
+        assert ok.sum() >= 1500, int(ok.sum())
+        pts = np.asarray(corners.points)[ok]
+        disp = np.asarray(tracked.points - corners.points)[ok]
+        gt_at = gt[np.clip(pts[:, 1].astype(int), 0, h - 1),
+                   np.clip(pts[:, 0].astype(int), 0, w - 1)]
+        track_epe = np.linalg.norm(disp - gt_at, axis=-1)
+        assert track_epe.mean() < 0.12, float(track_epe.mean())
+
+        dense = np.asarray(lk_dense_flow(g0, g1, max_corners=2000))
+        epe = float(np.linalg.norm(dense - gt, axis=-1)[16:-16, 16:-16].mean())
+        assert epe < 1.6, epe

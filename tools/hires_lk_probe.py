@@ -83,7 +83,8 @@ def main() -> int:
     print(json.dumps({"dense_epe_gt": round(epe_dense, 4)}))
 
     # --- throughput (amortized in-program reps; PERF.md "Harness gotchas")
-    for b in (int(x) for x in args.batches.split(",")):
+    # --batches "" skips timing (accuracy-only runs on CPU)
+    for b in (int(x) for x in args.batches.split(",") if x.strip()):
         pb = jnp.tile(g0[None], (b, 1, 1))
         cb = jnp.tile(g1[None], (b, 1, 1))
 

@@ -45,6 +45,9 @@ def main() -> int:
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (the JAX_PLATFORMS env var "
                          "loses to the axon plugin; PERF.md gotchas)")
+    ap.add_argument("--no-timing", action="store_true",
+                    help="accuracy-only pre-screen (EPE is backend-exact; "
+                         "run on CPU while the chip is busy)")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -78,7 +81,8 @@ def main() -> int:
 
     for sched in SCHEDULES:
         p = replace(base, level_iters=sched)
-        ms = bench.tpu_ms_per_frame(prev8, curr8, args.batch, p)
+        ms = (float("nan") if args.no_timing
+              else bench.tpu_ms_per_frame(prev8, curr8, args.batch, p))
         ours = np.asarray(farneback_flow(
             jnp.asarray(prev8), jnp.asarray(curr8), p))
         inner = np.s_[16:-16, 16:-16]

@@ -110,15 +110,31 @@ def tuned_flow_params(h: int, w: int) -> FarnebackParams:
       budget and 48 narrows tiles to 256 (column halo takes over, +8%).
 
     Interpolation rule: anything <= bench area uses the bench point, larger
-    frames the hi-res point (both share levels=2/iterations=6 — convergence
-    is resolution-independent; only the shift chain and tiling economics
-    change).
+    frames the hi-res point (both share levels=2 and the iteration schedule —
+    convergence is resolution-independent; only the shift chain and tiling
+    economics change).
+
+    Iteration schedule (round 5, VERDICT r4 #7): ``level_iters=(2, 3, 8)``
+    (finest-first) replaces flat 6 — the finest level owns ~76% of the cost
+    and its late Jacobi sweeps over-smooth rather than converge (the same
+    shape as RAFT's iters=6-beats-12 finding). Hardware sweep
+    (tools/iter_schedule_sweep.py, PERF.md "Iteration schedule"):
+    752x480 batch-8 2.72 -> 1.52 ms/frame (367 -> 660 fps/chip) at
+    EPE-vs-cv2 0.0495 (gate <0.1) and EPE-vs-GT 0.3325 (BETTER than flat-6's
+    0.3422); 1920x1024 26.1 -> 15.0 ms/frame (38 -> 67 fps/chip) at GT EPE
+    0.4566 vs flat-6's 0.4858 — under cv2's own full-pyramid floor (0.4756).
+    A 5-scene CPU screen (seeds x motion scales x sharp-texture shift) shows
+    the schedule within +0.005 px of flat-6 vs the cv2 oracle everywhere and
+    equal-or-better vs GT.
     """
+    sched = (2, 3, 8)
     if h * w <= 480 * 752:
         return FarnebackParams(levels=2, pyr_scale=0.5, warp="pallas",
-                               iterations=6, max_shift=8, band_rows=24)
+                               iterations=6, max_shift=8, band_rows=24,
+                               level_iters=sched)
     return FarnebackParams(levels=2, pyr_scale=0.5, warp="pallas",
-                           iterations=6, max_shift=16, band_rows=32)
+                           iterations=6, max_shift=16, band_rows=32,
+                           level_iters=sched)
 
 
 def effective_pallas_config(params: FarnebackParams, h: int, w: int,

@@ -91,9 +91,14 @@ class Processor:
         # data-dependent fallback to the exact gather when motion exceeds
         # max_shift coverage ("auto").
         if jax.default_backend() == "tpu":
-            self._farneback = FarnebackParams(
-                warp="pallas", levels=2, pyr_scale=0.5, iterations=6,
-                max_shift=8, band_rows=24)
+            from mav_detection_tpu.ops.flow import tuned_flow_params
+
+            # keyed by the dataset's frame size: a 1920x1024 AirSim-scale
+            # run needs max_shift=16 / band_rows=32 (PERF.md "Reference
+            # resolution"); the previously hardcoded bench-scale config
+            # silently degraded hi-res flow to 0.83 px EPE (vs 0.486)
+            w, h = (int(v) for v in self.dataset.resolution)
+            self._farneback = tuned_flow_params(h, w)
         else:
             self._farneback = FarnebackParams(warp="auto", fast=True,
                                               levels=2, pyr_scale=0.5)

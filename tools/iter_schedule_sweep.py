@@ -48,6 +48,10 @@ def main() -> int:
     ap.add_argument("--no-timing", action="store_true",
                     help="accuracy-only pre-screen (EPE is backend-exact; "
                          "run on CPU while the chip is busy)")
+    ap.add_argument("--schedules", default="",
+                    help="semicolon-separated finest-first tuples "
+                         "(e.g. '3,4,8;4,4,6') to sweep INSTEAD of the "
+                         "built-in list; 'flat' = the control")
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -79,7 +83,13 @@ def main() -> int:
     except Exception:
         ref = None
 
-    for sched in SCHEDULES:
+    schedules = SCHEDULES
+    if args.schedules:
+        schedules = [None if s.strip() == "flat" else
+                     tuple(int(v) for v in s.split(","))
+                     for s in args.schedules.split(";") if s.strip()]
+
+    for sched in schedules:
         p = replace(base, level_iters=sched)
         ms = (float("nan") if args.no_timing
               else bench.tpu_ms_per_frame(prev8, curr8, args.batch, p))

@@ -40,6 +40,16 @@ from mav_detection_tpu.pipeline.detector import (
 from mav_detection_tpu.utils.tracing import Tracer
 
 
+def _edge_pad_batch(arr: np.ndarray, pad: int) -> np.ndarray:
+    """Repeat the trailing element ``pad`` times along axis 0 (tail-batch
+    padding: the extra lanes are real, finite inputs — last frame against
+    itself — so every downstream op stays NaN-free; results for them are
+    simply never read back)."""
+    if pad <= 0:
+        return arr
+    return np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)], axis=0)
+
+
 class Processor:
     """Detection runner + dataset conversion utilities."""
 
@@ -109,6 +119,12 @@ class Processor:
         # upload GT flow for the drone_flow_pixels diagnostic; disable to
         # save host->device bandwidth when the diagnostic isn't needed
         self.use_gt_flow = True
+        # pad the final partial batch up to batch_size by repeating the last
+        # frame (pad lanes are computed and discarded): every batch then runs
+        # the SAME compiled program instead of jit-compiling a second
+        # remainder-shaped one — at 1920x1024 that second compile costs more
+        # than the whole video's execution (PERF.md "product loop")
+        self.pad_tail_batch = True
 
     # ------------------------------------------------------------ helpers
     def _detection_step(self):
@@ -697,8 +713,20 @@ class Processor:
                 if k + 1 < len(batches):
                     future = executor.submit(self._stage_batch, batches[k + 1])
 
+                # static-shape tail: pad the remainder batch to batch_size so
+                # it reuses the full batch's compiled program (mesh runs keep
+                # their own divisibility padding further down)
+                idx_flow = idx
+                if (self.pad_tail_batch and self.mesh is None
+                        and 0 < nb < self.batch_size):
+                    pad_b = self.batch_size - nb
+                    staged = {key_: _edge_pad_batch(v, pad_b)
+                              for key_, v in staged.items()}
+                    idx_flow = idx + [idx[-1]] * pad_b
+                    nb = self.batch_size
+
                 with self.tracer.stage("flow"):
-                    flow = self._flow_from_staged(idx, staged)
+                    flow = self._flow_from_staged(idx_flow, staged)
                 if "gt_flow" in staged:
                     gt_flow = jnp.asarray(staged["gt_flow"])
                 else:

@@ -73,8 +73,36 @@ def materialize(root: str, hw, frames: int) -> str:
     return os.path.relpath(seq_dir, root)
 
 
+def tunnel_bandwidth() -> dict:
+    """Host<->device link canary (MB/s each way, measured, not assumed).
+
+    On the axon tunnel this is the number that decides whether a
+    field-materializing product loop is transfer- or compute-bound; on a
+    real TPU host (PCIe) both directions are >10 GB/s and the question
+    disappears. Measured with device-COMPUTED payloads: a constant like
+    ``jnp.ones`` can short-circuit the d2h copy and read as infinite."""
+    import jax
+    import jax.numpy as jnp
+
+    nbytes = 32 << 20
+    host = np.random.default_rng(0).random(nbytes // 8)  # float64, 32 MB
+    mk = jax.jit(lambda s: jnp.sin(jnp.arange(nbytes // 4, dtype=jnp.float32)
+                                   + s))
+    _ = np.asarray(mk(1.0))  # compile + warm both directions
+    t0 = time.perf_counter()
+    dev = jax.device_put(host)
+    _ = float(jnp.sum(dev))  # scalar pull proves the upload landed
+    h2d = nbytes / 2 ** 20 / (time.perf_counter() - t0)
+    arr = mk(2.0)
+    _ = float(arr[0])  # computed and resident before the pull starts
+    t0 = time.perf_counter()
+    _ = np.asarray(arr)
+    d2h = nbytes / 2 ** 20 / (time.perf_counter() - t0)
+    return {"h2d_mbps": round(h2d, 1), "d2h_mbps": round(d2h, 1)}
+
+
 def run_probe(root: str, seq: str, batch: int, flow_source: str,
-              save_images: bool) -> dict:
+              save_images: bool, use_gt_flow: bool = True) -> dict:
     os.environ["SIMDATA_PATH"] = root
     from mav_detection_tpu.core.config import FlowSource, RunConfig
     from mav_detection_tpu.pipeline.processor import Processor
@@ -84,12 +112,34 @@ def run_probe(root: str, seq: str, batch: int, flow_source: str,
                     flow_source=FlowSource[flow_source], batch_size=batch)
     proc = Processor(cfg)
     proc.save_images = save_images
+    proc.use_gt_flow = use_gt_flow
+    # pass 1 pays jit compile (tens of seconds per program through the
+    # tunnel's remote compiler); pass 2 is the steady state a long video
+    # actually runs at — report that, with the cold wall alongside
+    from mav_detection_tpu.utils.tracing import Tracer
+
+    t0 = time.time()
+    proc.run_detection()
+    cold_wall = time.time() - t0
+    proc.tracer = Tracer()
     t0 = time.time()
     results = proc.run_detection()
     wall = time.time() - t0
     stages = proc.tracer.as_dict()
     n = len(results)
+    h, w = proc.dataset.capture_shape[:2]
+    # per-batch device<->host field traffic implied by the configuration:
+    # up = B+1 gray frames (+ optional B GT flow fields), down = the
+    # detection fields when save_images pulls them (flow_derotated, phi,
+    # estimate masks) vs a handful of scalars otherwise
+    up_mb = ((batch + 1) * h * w                      # uint8 grays
+             + (batch * h * w * 2 * 4 if use_gt_flow else 0)) / 2 ** 20
+    down_mb = ((batch * h * w * (2 * 4 + 4 + 1 + 1))  # derot,phi,masks
+               if save_images else 0.001) / 2 ** 20
     out = {
+        "cold_wall_s": round(cold_wall, 2),
+        "fields_mb_per_batch": {"h2d": round(up_mb, 1),
+                                "d2h": round(down_mb, 1)},
         "frames": n,
         "wall_s": round(wall, 2),
         "wall_fps": round(n / wall, 2),
@@ -118,6 +168,9 @@ def main() -> int:
     ap.add_argument("--flow-source", default="FARNEBACK")
     ap.add_argument("--no-images", action="store_true",
                     help="skip result-image artifacts (pure compute loop)")
+    ap.add_argument("--no-gt-flow", action="store_true",
+                    help="skip the GT-flow upload (drone_flow_pixels "
+                         "diagnostic costs B fields/batch of h2d)")
     ap.add_argument("--data-root", default="/tmp/mav_hires_probe")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
@@ -131,7 +184,10 @@ def main() -> int:
     os.makedirs(root, exist_ok=True)
     seq = materialize(root, (h, w), args.frames)
     out = run_probe(root, seq, args.batch, args.flow_source,
-                    save_images=not args.no_images)
+                    save_images=not args.no_images,
+                    use_gt_flow=not args.no_gt_flow)
+    if not args.cpu:
+        out["tunnel"] = tunnel_bandwidth()
     print(json.dumps(out))
     return 0
 

@@ -40,6 +40,17 @@ from mav_detection_tpu.pipeline.detector import (
 from mav_detection_tpu.utils.tracing import Tracer
 
 
+@jax.jit
+def _pack_frame_scalars(foe, tpr, fpr, tprf, fprf, sky_tpr, sky_fpr,
+                        dsz, dfl, cphi) -> jax.Array:
+    """Concatenate the per-frame result scalars into one (B, 12) float32
+    array so the host pulls the whole batch in a single transfer."""
+    cols = (foe, tpr[:, None], fpr[:, None], tprf[:, None], fprf[:, None],
+            sky_tpr[:, None], sky_fpr[:, None], dsz[:, None], dfl,
+            cphi[:, None])
+    return jnp.concatenate([c.astype(jnp.float32) for c in cols], axis=1)
+
+
 def _edge_pad_batch(arr: np.ndarray, pad: int) -> np.ndarray:
     """Repeat the trailing element ``pad`` times along axis 0 (tail-batch
     padding: the extra lanes are real, finite inputs — last frame against
@@ -778,19 +789,28 @@ class Processor:
                         (255 * est.astype(jnp.int32)).astype(jnp.uint8), val)
                     self._psum_metrics.append((float(g_tpr), float(g_fpr), nb))
 
-                # host materialization of the whole batch at once
+                # host materialization of the whole batch: the per-frame
+                # scalars are packed into ONE (B, 12) device array and pulled
+                # in a single transfer — twelve separate np.asarray pulls are
+                # twelve host<->device round trips per batch, which dominates
+                # the warm loop on high-latency links (PERF.md "product loop")
                 save_images = bool(out_dirs) and self.save_images
                 with self.tracer.stage("materialize"):
-                    foe = np.asarray(out.foe)
-                tpr = np.asarray(out.tpr)
-                fpr = np.asarray(out.fpr)
-                tprf = np.asarray(out.tpr_fixed)
-                fprf = np.asarray(out.fpr_fixed)
-                sky_tpr = np.asarray(out.sky_tpr)
-                sky_fpr = np.asarray(out.sky_fpr)
-                dsz = np.asarray(out.drone_size_pixels)
-                dfl = np.asarray(out.drone_flow_pixels)
-                cphi = np.asarray(out.center_phi)
+                    packed = np.asarray(_pack_frame_scalars(
+                        out.foe, out.tpr, out.fpr, out.tpr_fixed,
+                        out.fpr_fixed, out.sky_tpr, out.sky_fpr,
+                        out.drone_size_pixels, out.drone_flow_pixels,
+                        out.center_phi))
+                foe = packed[:, 0:2]
+                tpr = packed[:, 2]
+                fpr = packed[:, 3]
+                tprf = packed[:, 4]
+                fprf = packed[:, 5]
+                sky_tpr = packed[:, 6]
+                sky_fpr = packed[:, 7]
+                dsz = packed[:, 8]
+                dfl = packed[:, 9:11]
+                cphi = packed[:, 11]
                 if save_images:
                     fixed_masks = np.asarray(out.estimate_fixed)
                     phi_maps = np.asarray(out.phi)

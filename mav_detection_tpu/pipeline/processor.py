@@ -204,9 +204,18 @@ class Processor:
             # bytes; the device slices prevs/currs views out of one upload
             if idx == list(range(idx[0], idx[0] + len(idx))) and (
                     self.mesh is None or self.config.engine == "spatial"):
-                staged["grays"] = np.stack(
+                g = np.stack(
                     [self._gray(ds.get_frame(i))
                      for i in range(idx[0], idx[-1] + 2)])
+                if self.mesh is None and len(idx) == self.batch_size:
+                    # full batches upload HERE, on the staging thread: the
+                    # host->device copy of B+1 frames then overlaps the
+                    # device computing the previous batch instead of sitting
+                    # on the critical path (tail batches stay host-side so
+                    # the padding step can still concatenate them)
+                    staged["grays"] = jax.device_put(g)
+                else:
+                    staged["grays"] = g
             else:
                 staged["prevs"] = np.stack(
                     [self._gray(ds.get_frame(i)) for i in idx])

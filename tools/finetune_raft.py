@@ -68,7 +68,14 @@ def main() -> None:
                          "(PERF.md 'RAFT motion cap'); adds the uniform-"
                          "shift ladder to selection and gating")
     ap.add_argument("--chunk", type=int, default=50)
-    ap.add_argument("--candidate", default="/tmp/raft_candidate.msgpack")
+    ap.add_argument("--candidate",
+                    default=os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))), "checkpoints",
+                        "candidates", "raft_candidate.msgpack"),
+                    help="where to keep the trained-but-unshipped weights; "
+                         "defaults under the repo (gitignored) so a session "
+                         "restart does not lose a curriculum phase the way "
+                         "/tmp candidates were lost twice")
     ap.add_argument("--init", default="",
                     help="resume training from this msgpack instead of the "
                          "shipped checkpoint (gates still compare against "
@@ -76,6 +83,8 @@ def main() -> None:
     ap.add_argument("--ship", action="store_true",
                     help="overwrite the repo checkpoint if all gates pass")
     args = ap.parse_args()
+    os.makedirs(os.path.dirname(os.path.abspath(args.candidate)),
+                exist_ok=True)
 
     logging.basicConfig(level=logging.INFO,
                         format="%(asctime)s %(levelname)s %(message)s")

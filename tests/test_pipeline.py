@@ -400,6 +400,34 @@ class TestWarpDiff:
         assert float(jnp.abs(diff[1:-1, 1:-1]).max()) < 1e-5
 
 
+class TestTailBatchPadding:
+    def test_padded_tail_matches_unpadded(self, tmp_path, monkeypatch):
+        """Tail-batch padding is a pure compile-count optimization: every
+        FrameResult must be bit-identical with it on or off (7 pairs at
+        batch_size=4 leaves a 3-frame tail that gets one pad lane)."""
+        monkeypatch.setenv("SYNTHETIC_PATH", str(tmp_path))
+        monkeypatch.chdir(tmp_path)
+
+        def run(pad: bool):
+            cfg = RunConfig(dataset="synthetic", mode="FLOW_FOE_CLUSTERING",
+                            flow_source="GROUND_TRUTH", headless=True,
+                            batch_size=4)
+            proc = Processor(cfg)
+            proc.pad_tail_batch = pad
+            proc.save_images = False
+            return proc.run_detection()
+
+        ref, padded = run(False), run(True)
+        assert set(ref) == set(padded)
+        assert len(ref) % 4 != 0  # the fixture really exercises a tail
+        for i in ref:
+            a, b = ref[i], padded[i]
+            assert a.foe_dense == b.foe_dense
+            assert (a.tpr, a.fpr, a.tpr_fixed, a.fpr_fixed) == \
+                (b.tpr, b.fpr, b.tpr_fixed, b.fpr_fixed)
+            assert a.center_phi == b.center_phi
+
+
 class TestConvertExport:
     def test_convert_uses_per_sequence_flow_and_mode_imagery(
             self, tmp_path, monkeypatch):

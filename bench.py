@@ -244,6 +244,32 @@ def epe_check(prev8, curr8, gt_flow, params=None):
     return epe_cv2, epe_gt
 
 
+def device_reachable(timeout_s: float = 180.0) -> bool:
+    """True iff a trivial device op completes within ``timeout_s``.
+
+    The tunnel's TPU worker can crash or restart (observed 2026-08-21:
+    every device op hung indefinitely afterwards); without this guard the
+    bench hangs forever instead of recording an artifact. The probe runs
+    in a daemon thread because a hung axon call cannot be interrupted."""
+    import threading
+
+    ok: list = []
+
+    def probe() -> None:
+        try:
+            import jax.numpy as jnp
+
+            ok.append(float(jnp.sum(jnp.ones((128, 128), jnp.float32)
+                                    @ jnp.ones((128, 128), jnp.float32))))
+        except Exception:
+            ok.append(None)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok) and ok[0] is not None
+
+
 def chip_health_fields() -> dict:
     """Self-certifying chip-health canaries (VERDICT r4 #1).
 
@@ -400,6 +426,24 @@ def hires_fields() -> dict:
 
 
 def main() -> None:
+    if not device_reachable():
+        # record the outage in the artifact of record instead of hanging:
+        # a NaN headline with chip_health naming the cause is reviewable;
+        # a missing/killed bench run is not (the BENCH_r04 lesson)
+        print(json.dumps({
+            "metric": "flow+detect throughput @752x480 (batch 8)",
+            "value": float("nan"), "unit": "frames/sec/chip",
+            "vs_baseline": float("nan"),
+            "chip_health": ("UNREACHABLE (no device response in 180 s — "
+                            "TPU worker down/restarting; this artifact "
+                            "records environment state, not code)"),
+            "host": host_fields(),
+        }))
+        import sys
+        sys.stdout.flush()
+        # skip interpreter teardown: the abandoned device call in the probe
+        # thread aborts the process from its C++ destructor otherwise
+        os._exit(0)
     health = chip_health_fields()   # FIRST: certify the chip before timing
     prev8, curr8, gt_flow = make_scene(0)
     max_disp = float(np.abs(gt_flow).max())
